@@ -1,0 +1,202 @@
+"""Typed configuration for the svo_tpu pipeline.
+
+Mirrors every knob of the reference config system (reference:
+include/config_reader.h:13-44, configs/config.yaml:1-33) and additionally
+surfaces the parameters the reference hardcodes (SURVEY.md §5):
+
+- detection mask halfwidth 10 px            (reference: src/tracking.cpp:78)
+- stereo KLT 11x11 / 3 levels / 30 iters    (reference: src/tracking.cpp:98-104)
+- temporal KLT 21x21 / 3 levels / 50 iters  (reference: src/tracking.cpp:157-163)
+- RANSAC 100 iters / 8 px / 0.999 / SQPNP   (reference: src/tracking.cpp:194)
+- ORB extras: edge_threshold=patch_size, WTA_K=4, HARRIS_SCORE
+                                            (reference: src/tracking.cpp:36-40)
+
+The YAML loader accepts both plain YAML and the reference's OpenCV-flavoured
+``%YAML:1.0`` files (the directive line is stripped before parsing).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any
+
+import yaml
+
+
+@dataclass(frozen=True)
+class OrbParams:
+    """ORB detector knobs (reference: include/config_reader.h:26-32)."""
+
+    nfeatures: int = 500
+    scale_factor: float = 1.2
+    pyr_levels: int = 8
+    patch_size: int = 31
+    fast_treshold: int = 20  # [sic] reference spelling preserved in YAML key
+
+
+@dataclass(frozen=True)
+class FastParams:
+    """FAST detector knobs (reference: include/config_reader.h:34-37)."""
+
+    threshold: int = 20
+    nonMaxSuppression: bool = True
+
+
+@dataclass(frozen=True)
+class TrackingParams:
+    """Tracking knobs (reference: include/config_reader.h:39-42)."""
+
+    y_threshold: float = 40.0
+    features_to_track: int = 70
+
+
+@dataclass(frozen=True)
+class KltParams:
+    """Pyramidal Lucas-Kanade knobs. The reference hardcodes two call sites:
+    stereo left->right (src/tracking.cpp:98-105) and temporal prev->curr
+    (src/tracking.cpp:157-164)."""
+
+    window: int = 21          # odd window side
+    max_level: int = 3        # pyramid levels used = max_level + 1 (cv2 semantics)
+    max_iters: int = 50
+    eps: float = 1e-3         # convergence threshold on |delta| per iteration
+    min_eig_threshold: float = 1e-4  # cv2 minEigThreshold default
+
+
+@dataclass(frozen=True)
+class RansacParams:
+    """RANSAC-PnP knobs (reference: src/tracking.cpp:191-194).
+
+    The reference uses cv::solvePnPRansac(iters=100, reproj=8.0, conf=0.999,
+    SOLVEPNP_SQPNP). TPU-native design replaces adaptive iterations with a
+    fixed batch of parallel hypotheses (static shapes under jit)."""
+
+    num_hypotheses: int = 128
+    reproj_threshold: float = 8.0
+    refine_iters: int = 10    # Gauss-Newton refinement iterations on inliers
+
+
+@dataclass(frozen=True)
+class BucketParams:
+    """Grid-bucketed feature selection. The reference shipped this as dead,
+    buggy code (include/bucket.h, src/bucket.cpp, called nowhere; TODO at
+    src/tracking.cpp:88). First-class here, bugs fixed."""
+
+    enabled: bool = True
+    bucket_size: int = 64          # cell side in pixels
+    features_per_bucket: int = 8   # per-cell cap
+
+
+@dataclass(frozen=True)
+class BaParams:
+    """Windowed bundle adjustment — the reference's declared-but-missing
+    back-end (src/map.cpp:84-88, Ceres linked but never called)."""
+
+    enabled: bool = False
+    window: int = 10               # keyframes in the optimization window
+    max_points: int = 2048         # point slots in the window problem
+    max_obs: int = 16384           # observation slots (COO rows)
+    iterations: int = 10           # LM outer iterations
+    huber_delta: float = 5.0       # px, robust loss width
+    init_lambda: float = 1e-4
+
+
+@dataclass(frozen=True)
+class Capacity:
+    """Static capacities (fixed shapes under jit)."""
+
+    max_features: int = 256        # per-frame feature slots
+    max_points: int = 1 << 18      # global map point slots
+    max_frames: int = 4608         # trajectory slots
+    max_detections: int = 256      # new detections per keyframe
+
+
+@dataclass(frozen=True)
+class Config:
+    """Full pipeline configuration. Field names/defaults follow the reference
+    Config struct (include/config_reader.h:13-44) plus TPU-native extensions."""
+
+    # --- reference knobs (configs/config.yaml) ---
+    path: str = ""
+    gt_path: str = ""
+    calib_path: str = ""
+    fx: float = 718.8560
+    fy: float = 718.8560
+    cx: float = 607.1928
+    cy: float = 185.2157
+    bf: float = -386.1448          # parsed but unused in the reference too
+    start_frame: int = 0
+    end_frame: int = 4540
+    show_gt: bool = True
+    use_orb: bool = True
+    orb_params: OrbParams = field(default_factory=OrbParams)
+    fast_params: FastParams = field(default_factory=FastParams)
+    tracking: TrackingParams = field(default_factory=TrackingParams)
+
+    # --- surfaced hardcoded reference params ---
+    mask_halfwidth: int = 10       # detection suppression half-width (tracking.cpp:78)
+    stereo_klt: KltParams = field(
+        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=30)
+    )
+    temporal_klt: KltParams = field(
+        default_factory=lambda: KltParams(window=21, max_level=3, max_iters=50)
+    )
+    ransac: RansacParams = field(default_factory=RansacParams)
+
+    # --- TPU-native extensions ---
+    bucket: BucketParams = field(default_factory=BucketParams)
+    ba: BaParams = field(default_factory=BaParams)
+    capacity: Capacity = field(default_factory=Capacity)
+    image_height: int = 376        # static image shape for jit (KITTI seq 00)
+    image_width: int = 1241
+
+
+def _build(cls, data: dict[str, Any]):
+    """Recursively build a (nested) dataclass from a dict, ignoring unknown
+    keys and keeping defaults for missing ones."""
+    kwargs = {}
+    for f in dataclasses.fields(cls):
+        if f.name not in data:
+            continue
+        v = data[f.name]
+        if dataclasses.is_dataclass(f.type) if isinstance(f.type, type) else False:
+            kwargs[f.name] = _build(f.type, v)
+        elif isinstance(v, dict):
+            # nested dataclass referenced by string annotation
+            sub = _FIELD_TYPES.get((cls, f.name))
+            kwargs[f.name] = _build(sub, v) if sub else v
+        else:
+            kwargs[f.name] = v
+    return cls(**kwargs)
+
+
+_FIELD_TYPES = {
+    (Config, "orb_params"): OrbParams,
+    (Config, "fast_params"): FastParams,
+    (Config, "tracking"): TrackingParams,
+    (Config, "stereo_klt"): KltParams,
+    (Config, "temporal_klt"): KltParams,
+    (Config, "ransac"): RansacParams,
+    (Config, "bucket"): BucketParams,
+    (Config, "ba"): BaParams,
+    (Config, "capacity"): Capacity,
+}
+
+# YAML keys in the reference use "tracking_params"; map to our field name.
+_KEY_ALIASES = {"tracking_params": "tracking"}
+
+
+def load_config(path: str) -> Config:
+    """Load a YAML config. Accepts the reference's OpenCV ``%YAML:1.0`` files
+    (reference: include/config_reader.h:47-87) and plain YAML."""
+    with open(path) as f:
+        text = f.read()
+    lines = [ln for ln in text.splitlines() if not ln.startswith("%YAML")]
+    data = yaml.safe_load("\n".join(lines)) or {}
+    data = {_KEY_ALIASES.get(k, k): v for k, v in data.items()}
+    # OpenCV YAML stores bools as 0/1
+    for k in ("show_gt", "use_orb"):
+        if k in data:
+            data[k] = bool(data[k])
+    return _build(Config, data)

@@ -1,0 +1,199 @@
+"""RANSAC-PnP: batched-hypothesis robust 3D->2D pose estimation.
+
+TPU-native replacement for cv::solvePnPRansac(SQPNP) + cv::Rodrigues + pose
+inversion (reference: src/tracking.cpp:181-230). OpenCV's adaptive-iteration
+RANSAC (100 iters, 8 px, 0.999 confidence) becomes a fixed batch of parallel
+minimal-solver hypotheses (static shapes under jit):
+
+1. Sample H index sets of 6 valid correspondences (Gumbel top-k, no
+   replacement within a hypothesis).
+2. Solve each with a 6-point DLT for [R|t] in normalized image coordinates
+   (12x12 symmetric eigenproblem, batched over hypotheses).
+3. Score all hypotheses by masked inlier count at the reprojection threshold.
+4. Refine the winner with masked Gauss-Newton on its inliers (the role
+   OpenCV's final SQPNP-on-inliers solve plays), then recompute inliers.
+
+Returns the camera-to-world pose T_wc (the reference stores the inverted
+[R|t], src/tracking.cpp:197-214), the inlier mask, and the inlier ratio.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from svo_tpu.config import RansacParams
+from svo_tpu.geometry import se3
+
+
+class PnPResult(NamedTuple):
+    T_wc: jnp.ndarray        # (4,4) camera-to-world pose
+    inliers: jnp.ndarray     # (N,) bool, subset of `valid`
+    inlier_ratio: jnp.ndarray  # scalar, |inliers| / |valid| (reference: tracking.cpp:195)
+    ok: jnp.ndarray          # scalar bool, solution sanity
+
+
+def _normalize_pixels(K: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
+    """K^-1 applied to pixels: (...,2) -> (...,2) normalized image coords."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack([(uv[..., 0] - cx) / fx, (uv[..., 1] - cy) / fy], axis=-1)
+
+
+def _dlt6(Xw: jnp.ndarray, xn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Minimal 6-point DLT pose from world points (6,3) and normalized image
+    points (6,2). Returns (R (3,3), t (3,))."""
+    ones = jnp.ones_like(Xw[..., :1])
+    Xh = jnp.concatenate([Xw, ones], axis=-1)  # (6,4)
+    z = jnp.zeros_like(Xh)
+    # rows: [X 0 -u X ; 0 X -v X] for P stacked as 12-vector (row-major)
+    r1 = jnp.concatenate([Xh, z, -xn[..., 0:1] * Xh], axis=-1)  # (6,12)
+    r2 = jnp.concatenate([z, Xh, -xn[..., 1:2] * Xh], axis=-1)  # (6,12)
+    A = jnp.concatenate([r1, r2], axis=-2)  # (12,12)
+    A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
+    _, V = jnp.linalg.eigh(A.T @ A)
+    p = V[:, 0]
+    P = p.reshape(3, 4)
+    # Cheirality/sign: make depths positive for the sample points.
+    depths = Xh @ P[2]
+    P = P * jnp.where(jnp.sum(jnp.sign(depths)) < 0, -1.0, 1.0)
+    M = P[:, :3]
+    U, S, Vt = jnp.linalg.svd(M)
+    detUV = jnp.linalg.det(U @ Vt)
+    D = jnp.array([1.0, 1.0, 0.0], M.dtype) + jnp.array([0.0, 0.0, 1.0], M.dtype) * detUV
+    R = (U * D[None, :]) @ Vt
+    scale = jnp.mean(S) * detUV  # detUV folds the sign into the scale
+    t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    return R, t
+
+
+def _reproj_errors(K, T_cw, Xw, uv):
+    """Squared pixel reprojection errors (N,) and camera-frame depth (N,)."""
+    Xc = se3.transform(T_cw, Xw)
+    z = Xc[..., 2]
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+    u = fx * Xc[..., 0] / zs + cx
+    v = fy * Xc[..., 1] / zs + cy
+    err2 = (u - uv[..., 0]) ** 2 + (v - uv[..., 1]) ** 2
+    return err2, z
+
+
+def _gn_refine(K, T_cw, Xw, uv, weight, iters: int):
+    """Masked Gauss-Newton on reprojection error over se(3).
+
+    weight: (N,) 0/1 inlier mask (or robust weights). Left-multiplicative
+    twist update: T <- exp(delta) @ T."""
+    fx, fy = K[0, 0], K[1, 1]
+
+    def body(T, _):
+        Xc = se3.transform(T, Xw)  # (N,3)
+        x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
+        zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        inv_z = 1.0 / zs
+        u = fx * x * inv_z + K[0, 2]
+        v = fy * y * inv_z + K[1, 2]
+        r = jnp.stack([u - uv[..., 0], v - uv[..., 1]], axis=-1)  # (N,2)
+        # d pi / d Xc
+        zero = jnp.zeros_like(x)
+        Jpi = jnp.stack(
+            [
+                jnp.stack([fx * inv_z, zero, -fx * x * inv_z * inv_z], axis=-1),
+                jnp.stack([zero, fy * inv_z, -fy * y * inv_z * inv_z], axis=-1),
+            ],
+            axis=-2,
+        )  # (N,2,3)
+        # d Xc / d xi = [I | -hat(Xc)] for left update
+        Jx = jnp.concatenate(
+            [jnp.broadcast_to(jnp.eye(3, dtype=Xc.dtype), Xc.shape[:-1] + (3, 3)), -se3.hat(Xc)],
+            axis=-1,
+        )  # (N,3,6)
+        J = Jpi @ Jx  # (N,2,6)
+        w = weight[..., None, None]
+        H = jnp.sum(jnp.swapaxes(J, -1, -2) @ (J * w), axis=0)  # (6,6)
+        g = jnp.sum(jnp.swapaxes(J, -1, -2) @ (r[..., None] * w), axis=0)[..., 0]  # (6,)
+        H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
+        delta = -jnp.linalg.solve(H, g)
+        # Guard against divergent steps on degenerate systems.
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
+        return se3.compose(se3.exp(delta), T), None
+
+    T, _ = jax.lax.scan(body, T_cw, None, length=iters)
+    return T
+
+
+def ransac_pnp(
+    K: jnp.ndarray,
+    Xw: jnp.ndarray,
+    uv: jnp.ndarray,
+    valid: jnp.ndarray,
+    key: jnp.ndarray,
+    params: RansacParams,
+    T_init: jnp.ndarray | None = None,
+) -> PnPResult:
+    """Robust pose from N (masked) 3D->2D correspondences.
+
+    Args:
+        K: (3,3) intrinsics.
+        Xw: (N,3) world points.
+        uv: (N,2) observed pixels in the current left image.
+        valid: (N,) bool mask of live correspondences.
+        key: PRNG key for hypothesis sampling.
+        params: RansacParams.
+        T_init: optional (4,4) prior world-to-camera pose, added to the
+            hypothesis pool (motion-prior seeding; cheap robustness win the
+            reference lacks).
+    Returns:
+        PnPResult with T_wc (camera-to-world, as the reference stores it).
+    """
+    N = Xw.shape[0]
+    H = params.num_hypotheses
+    validf = valid.astype(jnp.float32)
+
+    # --- 1. sample hypothesis index sets (Gumbel top-6 over valid slots) ---
+    g = jax.random.gumbel(key, (H, N))
+    scores = jnp.where(valid[None, :], g, -jnp.inf)
+    _, idx = jax.lax.top_k(scores, 6)  # (H,6)
+
+    xn = _normalize_pixels(K, uv)
+    Xs = Xw[idx]          # (H,6,3)
+    xs = xn[idx]          # (H,6,2)
+
+    # --- 2. batched minimal solves ---
+    Rs, ts = jax.vmap(_dlt6)(Xs, xs)  # (H,3,3), (H,3)
+    T_h = se3.from_rt(Rs, ts)         # (H,4,4) world->camera
+    if T_init is not None:
+        T_h = jnp.concatenate([T_h, T_init[None]], axis=0)
+        H = H + 1
+
+    # --- 3. score all hypotheses ---
+    thr2 = params.reproj_threshold ** 2
+    err2, z = jax.vmap(lambda T: _reproj_errors(K, T, Xw, uv))(T_h)  # (H,N)
+    finite = jnp.all(jnp.isfinite(T_h.reshape(H, -1)), axis=-1)
+    inl = (err2 < thr2) & (z > 0) & valid[None, :]  # (H,N)
+    counts = jnp.sum(inl, axis=-1) * finite.astype(jnp.int32)
+    best = jnp.argmax(counts)
+    T_best = T_h[best]
+    inliers0 = inl[best]
+
+    # --- 4. refine on inliers, then final inlier set ---
+    T_ref = _gn_refine(K, T_best, Xw, uv, inliers0.astype(jnp.float32), params.refine_iters)
+    err2_f, z_f = _reproj_errors(K, T_ref, Xw, uv)
+    inliers = (err2_f < thr2) & (z_f > 0) & valid
+    # Fall back to the unrefined pose if refinement diverged.
+    worse = jnp.sum(inliers) < jnp.sum(inliers0)
+    T_final = jnp.where(worse, T_best, T_ref)
+    inliers = jnp.where(worse, inliers0, inliers)
+
+    n_valid = jnp.maximum(jnp.sum(validf), 1.0)
+    ratio = jnp.sum(inliers.astype(jnp.float32)) / n_valid
+    ok = (counts[best] >= 6) & jnp.all(jnp.isfinite(T_final))
+    return PnPResult(
+        T_wc=se3.inverse(T_final),
+        inliers=inliers,
+        inlier_ratio=ratio,
+        ok=ok,
+    )

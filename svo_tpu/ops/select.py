@@ -1,0 +1,102 @@
+"""Grid-bucketed feature selection as dense per-cell top-k.
+
+First-class resurrection of the reference's dead bucketing code
+(reference: include/bucket.h, src/bucket.cpp — never called, TODO at
+src/tracking.cpp:88) with its two latent bugs fixed by construction:
+- bucket array sized (h+1)*(w+1) but indexed with stride w
+  (src/bucket.cpp:38-53): here the grid is an exact reshape, no indexing bug
+  possible;
+- age-replacement comparing the incoming age to itself
+  (src/bucket.cpp:84-93): here per-cell preference is an explicit top-k on a
+  priority key.
+
+TPU formulation: pad the score map to a multiple of the cell size, reshape to
+(cells, cell_pixels), run top-k per cell (a dense segment-max), then a global
+top-k over cell winners. Static output shape (max_out slots + validity mask).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bucketed_topk(
+    score: jnp.ndarray,
+    bucket_size: int,
+    per_bucket: int,
+    max_out: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Select up to max_out features, at most per_bucket per grid cell.
+
+    Args:
+        score: (H, W) score map, 0 = not a candidate.
+        bucket_size: cell side in pixels.
+        per_bucket: per-cell cap.
+        max_out: output slots.
+    Returns:
+        pos (max_out, 2) float32 (x, y); score (max_out,); valid (max_out,).
+    """
+    H, W = score.shape
+    B = bucket_size
+    Hp = -(-H // B) * B
+    Wp = -(-W // B) * B
+    s = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    hc, wc = Hp // B, Wp // B
+    cells = s.reshape(hc, B, wc, B).transpose(0, 2, 1, 3).reshape(hc * wc, B * B)
+
+    k = min(per_bucket, B * B)
+    cell_scores, cell_idx = jax.lax.top_k(cells, k)  # (C, k)
+
+    # flat pixel coordinates of each cell winner
+    cy = jnp.arange(hc * wc) // wc
+    cx = jnp.arange(hc * wc) % wc
+    py = cy[:, None] * B + cell_idx // B
+    px = cx[:, None] * B + cell_idx % B
+
+    flat_scores = cell_scores.reshape(-1)
+    flat_x = px.reshape(-1)
+    flat_y = py.reshape(-1)
+
+    top_scores, top_i = jax.lax.top_k(flat_scores, min(max_out, flat_scores.shape[0]))
+    out_x = flat_x[top_i].astype(jnp.float32)
+    out_y = flat_y[top_i].astype(jnp.float32)
+    valid = top_scores > 0.0
+
+    n = top_scores.shape[0]
+    if n < max_out:
+        pad = max_out - n
+        out_x = jnp.pad(out_x, (0, pad))
+        out_y = jnp.pad(out_y, (0, pad))
+        top_scores = jnp.pad(top_scores, (0, pad))
+        valid = jnp.pad(valid, (0, pad))
+    pos = jnp.stack([out_x, out_y], axis=-1)
+    return pos, top_scores, valid
+
+
+def global_topk(
+    score: jnp.ndarray, max_out: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Plain global top-k selection from a score map (bucketing disabled).
+    Scores <= 0 are treated as non-candidates."""
+    H, W = score.shape
+    flat = score.reshape(-1)
+    top_scores, top_i = jax.lax.top_k(flat, max_out)
+    pos = jnp.stack(
+        [(top_i % W).astype(jnp.float32), (top_i // W).astype(jnp.float32)], axis=-1
+    )
+    return pos, top_scores, top_scores > 0.0
+
+
+def global_topk_signed(
+    score: jnp.ndarray, max_out: int
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Top-k where scores may be negative (e.g. Harris response); -inf marks
+    non-candidates."""
+    H, W = score.shape
+    flat = score.reshape(-1)
+    top_scores, top_i = jax.lax.top_k(flat, max_out)
+    pos = jnp.stack(
+        [(top_i % W).astype(jnp.float32), (top_i // W).astype(jnp.float32)], axis=-1
+    )
+    return pos, top_scores, jnp.isfinite(top_scores)

@@ -1,0 +1,273 @@
+"""The per-frame VO front-end as pure jitted functions.
+
+Reimplements the reference's hot loop (Tracking::startStereo,
+src/tracking.cpp:232-276) as ONE fused device step per frame:
+
+    track (KLT prev->curr)            src/tracking.cpp:154-179
+    -> pose (RANSAC-PnP + outliers)   src/tracking.cpp:181-230
+    -> keyframe? replenish:           src/tracking.cpp:247-255
+         detect (masked)              src/tracking.cpp:74-92
+         stereo match (KLT + y-gate)  src/tracking.cpp:94-118
+         triangulate + allocate       src/tracking.cpp:120-152
+         merge feature sets           src/frame.cpp:29-35
+
+The keyframe decision itself (frame 0, or previous frame not a KF with fewer
+than features_to_track live features — src/tracking.cpp:69-71) is computed on
+device, so the host never blocks on a scalar: the whole loop is
+state -> state with images streaming in.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from svo_tpu.config import Config
+from svo_tpu.geometry import se3
+from svo_tpu.geometry.camera import Camera
+from svo_tpu.geometry.pnp import ransac_pnp
+from svo_tpu.geometry.triangulate import triangulate_dlt
+from svo_tpu.ops import detect as detect_mod
+from svo_tpu.ops.klt import KltTracker
+from svo_tpu.pipeline.state import FeatureSet, MapState, VoState
+
+
+# --------------------------------------------------------------------------
+# helpers
+# --------------------------------------------------------------------------
+
+def _alloc_points(
+    mp: MapState, Xw: jnp.ndarray, valid: jnp.ndarray
+) -> tuple[jnp.ndarray, MapState]:
+    """Allocate map-point slots for valid rows of Xw (monotone cursor,
+    Map::createMapPoint semantics, reference src/map.cpp:73-77).
+    Returns per-row point ids (-1 where invalid)."""
+    M = mp.points.shape[0]
+    v = valid.astype(jnp.int32)
+    offsets = jnp.cumsum(v) - v  # rank among valid rows
+    ids = jnp.where(valid, mp.n_points + offsets, -1)
+    ids = jnp.where(ids < M, ids, -1)  # capacity guard
+    scatter_idx = jnp.where(ids >= 0, ids, M)  # M = out-of-bounds -> dropped
+    points = mp.points.at[scatter_idx].set(Xw, mode="drop")
+    n_new = jnp.sum((ids >= 0).astype(jnp.int32))
+    return ids, mp._replace(points=points, n_points=mp.n_points + n_new)
+
+
+def _record_obs(
+    mp: MapState,
+    uv: jnp.ndarray,
+    pid: jnp.ndarray,
+    valid: jnp.ndarray,
+    frame_id: jnp.ndarray,
+) -> MapState:
+    """Append (frame, point, uv) rows to the observation ring (COO storage
+    for windowed BA — the reference kept observations in per-point hash maps,
+    include/map_point.h:17-19)."""
+    O = mp.obs_uv.shape[0]
+    v = valid.astype(jnp.int32)
+    offs = jnp.cumsum(v) - v
+    slots = jnp.where(valid, (mp.obs_cursor + offs) % O, O)  # O -> dropped
+    return mp._replace(
+        obs_uv=mp.obs_uv.at[slots].set(uv, mode="drop"),
+        obs_pid=mp.obs_pid.at[slots].set(pid, mode="drop"),
+        obs_fid=mp.obs_fid.at[slots].set(
+            jnp.broadcast_to(frame_id, pid.shape), mode="drop"
+        ),
+        obs_cursor=mp.obs_cursor + jnp.sum(v),
+    )
+
+
+def _merge_features(
+    feats: FeatureSet,
+    new_pos: jnp.ndarray,
+    new_pid: jnp.ndarray,
+    new_score: jnp.ndarray,
+    new_valid: jnp.ndarray,
+) -> FeatureSet:
+    """Merge tracked survivors with fresh detections into the fixed N slots
+    (StereoFrame::insertFeatures, reference src/frame.cpp:29-35). Tracked
+    features always win a slot; leftovers go to the best-scoring detections."""
+    N = feats.pos.shape[0]
+    key_tracked = jnp.where(feats.valid, 2e9 + feats.age.astype(jnp.float32), -1.0)
+    key_new = jnp.where(new_valid, jnp.maximum(new_score, 0.0), -1.0)
+    keys = jnp.concatenate([key_tracked, key_new])
+    _, idx = jax.lax.top_k(keys, N)
+
+    pos = jnp.concatenate([feats.pos, new_pos])[idx]
+    pid = jnp.concatenate([feats.point_id, new_pid])[idx]
+    age = jnp.concatenate([feats.age, jnp.zeros_like(new_pid)])[idx]
+    valid = keys[idx] >= 0.0
+    return FeatureSet(pos=pos, valid=valid, point_id=pid, age=age)
+
+
+# --------------------------------------------------------------------------
+# replenishment: detect + stereo match + triangulate (the extractFeatures /
+# triangulateNewMapPoints pair, reference src/tracking.cpp:74-152)
+# --------------------------------------------------------------------------
+
+def _replenish(
+    feats: FeatureSet,
+    mp: MapState,
+    left: jnp.ndarray,
+    pyr_l,
+    right: jnp.ndarray,
+    pose: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    camera: Camera,
+    cfg: Config,
+) -> tuple[FeatureSet, MapState]:
+    # 1. detect with suppression around current live features
+    det_pos, det_score, det_valid = detect_mod.detect(left, feats.pos, feats.valid, cfg)
+
+    # 2. stereo match left->right with KLT + vertical-disparity gate
+    #    (reference: src/tracking.cpp:94-118)
+    pyr_r = KltTracker.build_pyramid(right, cfg.stereo_klt.max_level)
+    sres = KltTracker.track(pyr_l, pyr_r, det_pos, det_valid, cfg.stereo_klt)
+    y_ok = jnp.abs(sres.pos[:, 1] - det_pos[:, 1]) < cfg.tracking.y_threshold
+    s_valid = det_valid & sres.status & y_ok
+
+    # 3. triangulate (DLT), cheirality z > 0, to world via current pose
+    #    (reference: src/tracking.cpp:120-152)
+    Xc = triangulate_dlt(camera.P_left, camera.P_right, det_pos, sres.pos)
+    new_valid = s_valid & (Xc[:, 2] > 0)
+    Xw = se3.transform(pose, Xc)
+
+    # 4. allocate map points + record the triangulating observation
+    ids, mp = _alloc_points(mp, Xw, new_valid)
+    new_valid = new_valid & (ids >= 0)
+    mp = _record_obs(mp, det_pos, ids, new_valid, frame_id)
+
+    # 5. merge into the frame's feature table
+    feats = _merge_features(feats, det_pos, ids, det_score, new_valid)
+    return feats, mp
+
+
+# --------------------------------------------------------------------------
+# per-frame step
+# --------------------------------------------------------------------------
+
+def make_step(camera: Camera, cfg: Config):
+    """Build the jitted per-frame step. The returned function has signature
+    (VoState, left (H,W) f32, right (H,W) f32) -> VoState and donates the
+    state (buffers update in place on device)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step(state: VoState, left: jnp.ndarray, right: jnp.ndarray) -> VoState:
+        fid = state.frame_id + 1
+
+        # keyframe policy (reference: src/tracking.cpp:69-71) — evaluated on
+        # the PREVIOUS frame's state, exactly like nextFrame() does.
+        cnt_prev = state.features.count()
+        is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
+
+        pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
+
+        # --- temporal tracking (reference: src/tracking.cpp:154-179) ---
+        tres = KltTracker.track(
+            state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
+            cfg.temporal_klt,
+        )
+        tracked = FeatureSet(
+            pos=tres.pos,
+            valid=state.features.valid & tres.status,
+            point_id=state.features.point_id,
+            age=state.features.age + 1,
+        )
+        n_tracked = tracked.count()
+
+        # --- pose (reference: src/tracking.cpp:181-230) ---
+        Xw = state.map.points[jnp.clip(tracked.point_id, 0)]
+        rng, sub = jax.random.split(state.rng)
+        pres = ransac_pnp(
+            camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
+            T_init=se3.inverse(state.pose),
+        )
+        pose = jnp.where(pres.ok, pres.T_wc, state.pose)
+        feats = tracked._replace(valid=tracked.valid & pres.inliers)
+
+        # record tracking observations for BA
+        mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
+
+        # --- keyframe replenishment (reference: src/tracking.cpp:247-255) ---
+        def kf_branch(op):
+            f, m = op
+            return _replenish(f, m, left, pyr_l, right, pose, fid, camera, cfg)
+
+        feats, mp = jax.lax.cond(is_kf, kf_branch, lambda op: op, (feats, mp))
+
+        metrics_row = jnp.stack(
+            [
+                n_tracked.astype(jnp.float32),
+                pres.inlier_ratio,
+                feats.count().astype(jnp.float32),
+                is_kf.astype(jnp.float32),
+                mp.n_points.astype(jnp.float32),
+            ]
+        )
+        return VoState(
+            features=feats,
+            map=mp,
+            prev_pyramid=pyr_l,
+            frame_id=fid,
+            prev_is_kf=is_kf,
+            pose=pose,
+            poses=state.poses.at[fid].set(pose),
+            kf_flags=state.kf_flags.at[fid].set(is_kf),
+            metrics=state.metrics.at[fid].set(metrics_row),
+            rng=rng,
+        )
+
+    return step
+
+
+def make_bootstrap(camera: Camera, cfg: Config):
+    """Build the jitted bootstrap: frame 0 is always a keyframe — detect,
+    stereo-match, triangulate at identity pose (reference:
+    src/tracking.cpp:233-235)."""
+
+    @jax.jit
+    def bootstrap(left: jnp.ndarray, right: jnp.ndarray, seed: jnp.ndarray) -> VoState:
+        N = cfg.capacity.max_features
+        F = cfg.capacity.max_frames
+        pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
+        pose0 = se3.identity()
+        feats, mp = _replenish(
+            FeatureSet.empty(N),
+            MapState.empty(cfg),
+            left,
+            pyr_l,
+            right,
+            pose0,
+            jnp.zeros((), jnp.int32),
+            camera,
+            cfg,
+        )
+        metrics0 = jnp.zeros((F, 5), jnp.float32)
+        metrics0 = metrics0.at[0].set(
+            jnp.stack(
+                [
+                    jnp.float32(0),
+                    jnp.float32(0),
+                    feats.count().astype(jnp.float32),
+                    jnp.float32(1),
+                    mp.n_points.astype(jnp.float32),
+                ]
+            )
+        )
+        return VoState(
+            features=feats,
+            map=mp,
+            prev_pyramid=pyr_l,
+            frame_id=jnp.zeros((), jnp.int32),
+            prev_is_kf=jnp.ones((), bool),
+            pose=pose0,
+            poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1)),
+            kf_flags=jnp.zeros((F,), bool).at[0].set(True),
+            metrics=metrics0,
+            rng=jax.random.PRNGKey(seed),
+        )
+
+    return bootstrap

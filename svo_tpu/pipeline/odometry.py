@@ -1,0 +1,122 @@
+"""Host-side odometry driver: the sequential frame loop.
+
+The reference drives the loop from Tracking::startStereo
+(src/tracking.cpp:232-276) with 4 host threads; here the host only streams
+images to the device and the whole per-frame computation is one jitted call
+(latency-bound by design — SURVEY.md §7 hard-part #4 — so the host work per
+frame is just an async dispatch; device_put of frame t+1 overlaps the device
+compute of frame t).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svo_tpu.config import Config
+from svo_tpu.geometry.camera import Camera
+from svo_tpu.pipeline import frontend
+from svo_tpu.pipeline.state import VoState
+
+
+@dataclass
+class RunResult:
+    poses: np.ndarray       # (F, 4, 4) camera-to-world trajectory
+    kf_flags: np.ndarray    # (F,) bool
+    metrics: np.ndarray     # (F, 5)
+    n_frames: int
+    total_time_s: float
+    fps: float
+    map_points: np.ndarray | None = None
+    per_frame_ms: list = field(default_factory=list)
+
+
+class StereoVO:
+    """TPU-native stereo visual odometry engine (the Tracking+Map pair of the
+    reference, as one functional pipeline)."""
+
+    def __init__(self, config: Config, camera: Camera, seed: int = 0):
+        self.cfg = config
+        self.camera = camera
+        self.seed = seed
+        self._step = frontend.make_step(camera, config)
+        self._bootstrap = frontend.make_bootstrap(camera, config)
+        self.state: VoState | None = None
+
+    def _prep(self, img: np.ndarray) -> jnp.ndarray:
+        """Pad/crop to the configured static shape and move to device."""
+        H, W = self.cfg.image_height, self.cfg.image_width
+        h, w = img.shape
+        if (h, w) != (H, W):
+            out = np.zeros((H, W), np.float32)
+            out[: min(h, H), : min(w, W)] = img[:H, :W]
+            img = out
+        return jax.device_put(jnp.asarray(img, jnp.float32))
+
+    def start(self, left: np.ndarray, right: np.ndarray) -> None:
+        self.state = self._bootstrap(
+            self._prep(left), self._prep(right), jnp.uint32(self.seed)
+        )
+
+    def process(self, left: np.ndarray, right: np.ndarray) -> None:
+        assert self.state is not None, "call start() first"
+        self.state = self._step(self.state, self._prep(left), self._prep(right))
+
+    def run(
+        self,
+        frames: Iterable[tuple[int, np.ndarray, np.ndarray]],
+        verbose: bool = False,
+        time_per_frame: bool = False,
+    ) -> RunResult:
+        """Drive a whole sequence. `frames` yields (idx, left, right).
+
+        With verbose=True, prints the reference's per-frame log line
+        (id | MPs | time | features | inlier ratio | KF —
+        reference src/tracking.cpp:261-266); this forces a device sync per
+        frame and slows the run, exactly like the reference's in-loop GUI+
+        printf did."""
+        it = iter(frames)
+        try:
+            _, left, right = next(it)
+        except StopIteration:
+            raise ValueError("empty sequence")
+        self.start(left, right)
+        n = 1
+        per_frame_ms = []
+        t0 = time.perf_counter()
+        for _, left, right in it:
+            if time_per_frame:
+                ts = time.perf_counter()
+            self.process(left, right)
+            if verbose or time_per_frame:
+                jax.block_until_ready(self.state.pose)
+            if time_per_frame:
+                per_frame_ms.append((time.perf_counter() - ts) * 1e3)
+            if verbose:
+                m = np.asarray(self.state.metrics[n])
+                print(
+                    f"{n:4d} | MPs: {int(m[4]):6d} | Features: {int(m[2]):4d} "
+                    f"| IR: {m[1] * 100:.2f}% |{' KF' if m[3] else ''}"
+                )
+            n += 1
+        jax.block_until_ready(self.state.pose)
+        total = time.perf_counter() - t0
+        return self.finish(n, total, per_frame_ms)
+
+    def finish(self, n: int, total_s: float, per_frame_ms=None) -> RunResult:
+        st = self.state
+        return RunResult(
+            poses=np.asarray(st.poses[:n]),
+            kf_flags=np.asarray(st.kf_flags[:n]),
+            metrics=np.asarray(st.metrics[:n]),
+            n_frames=n,
+            total_time_s=total_s,
+            fps=(n - 1) / total_s if total_s > 0 else 0.0,
+            map_points=np.asarray(st.map.points[: int(st.map.n_points)]),
+            per_frame_ms=per_frame_ms or [],
+        )
