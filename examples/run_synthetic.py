@@ -15,6 +15,7 @@ parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--small", action="store_true", help="use a small image for fast iteration")
 parser.add_argument("--verbose", action="store_true")
 parser.add_argument("--fast", action="store_true", help="FAST detector instead of ORB")
+parser.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
 args = parser.parse_args()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -42,11 +43,14 @@ seq = SyntheticSequence(n_frames=args.frames, shape=shape, fx=fx)
 frames = list(seq)
 print(f"rendered {len(frames)} synthetic frames in {time.time()-t0:.1f}s", flush=True)
 
+from svo_tpu.config import BaParams  # noqa: E402
+
 cfg = Config(
     use_orb=not args.fast,
     image_height=shape[0],
     image_width=shape[1],
     end_frame=args.frames,
+    ba=BaParams(enabled=args.ba),
 )
 camera = cam_mod.from_intrinsics(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline)
 

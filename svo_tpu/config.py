@@ -94,11 +94,15 @@ class BaParams:
     back-end (src/map.cpp:84-88, Ceres linked but never called)."""
 
     enabled: bool = False
-    window: int = 10               # keyframes in the optimization window
-    max_points: int = 2048         # point slots in the window problem
-    max_obs: int = 16384           # observation slots (COO rows)
+    window: int = 10               # frames in the optimization window
+    interval: int = 8              # run BA every `interval` frames
+    n_fixed: int = 1               # gauge-anchor cameras at the window start
+    max_points: int = 1024         # point slots in the window problem
+    max_obs: int = 4096            # observation slots in the window problem
+    ring_obs: int = 32768          # capacity of the global observation ring
     iterations: int = 10           # LM outer iterations
     huber_delta: float = 5.0       # px, robust loss width
+    reject_threshold: float = 20.0  # px, hard outlier cutoff in robust weights
     init_lambda: float = 1e-4
 
 

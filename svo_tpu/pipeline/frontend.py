@@ -62,16 +62,21 @@ def _record_obs(
     pid: jnp.ndarray,
     valid: jnp.ndarray,
     frame_id: jnp.ndarray,
+    u_right: jnp.ndarray | None = None,
 ) -> MapState:
-    """Append (frame, point, uv) rows to the observation ring (COO storage
-    for windowed BA — the reference kept observations in per-point hash maps,
-    include/map_point.h:17-19)."""
+    """Append (frame, point, uv[, u_right]) rows to the observation ring (COO
+    storage for windowed BA — the reference kept observations in per-point
+    hash maps, include/map_point.h:17-19). u_right < 0 marks a mono
+    observation; stereo rows pin the BA scale gauge."""
     O = mp.obs_uv.shape[0]
     v = valid.astype(jnp.int32)
     offs = jnp.cumsum(v) - v
     slots = jnp.where(valid, (mp.obs_cursor + offs) % O, O)  # O -> dropped
+    if u_right is None:
+        u_right = jnp.full(pid.shape, -1.0, jnp.float32)
+    uv3 = jnp.concatenate([uv, u_right[:, None]], axis=-1)
     return mp._replace(
-        obs_uv=mp.obs_uv.at[slots].set(uv, mode="drop"),
+        obs_uv=mp.obs_uv.at[slots].set(uv3, mode="drop"),
         obs_pid=mp.obs_pid.at[slots].set(pid, mode="drop"),
         obs_fid=mp.obs_fid.at[slots].set(
             jnp.broadcast_to(frame_id, pid.shape), mode="drop"
@@ -136,9 +141,12 @@ def _replenish(
     Xw = se3.transform(pose, Xc)
 
     # 4. allocate map points + record the triangulating observation
+    #    (stereo: keep the right-image u the reference threw away,
+    #    src/tracking.cpp:150-151 / TODO at :146)
     ids, mp = _alloc_points(mp, Xw, new_valid)
     new_valid = new_valid & (ids >= 0)
-    mp = _record_obs(mp, det_pos, ids, new_valid, frame_id)
+    u_right = jnp.where(sres.status, sres.pos[:, 0], -1.0)
+    mp = _record_obs(mp, det_pos, ids, new_valid, frame_id, u_right=u_right)
 
     # 5. merge into the frame's feature table
     feats = _merge_features(feats, det_pos, ids, det_score, new_valid)
@@ -149,78 +157,149 @@ def _replenish(
 # per-frame step
 # --------------------------------------------------------------------------
 
+def step_body(
+    state: VoState, left: jnp.ndarray, right: jnp.ndarray, camera: Camera, cfg: Config
+) -> VoState:
+    """One full frame step (pure, un-jitted): track -> PnP -> cond replenish."""
+    fid = state.frame_id + 1
+
+    # keyframe policy (reference: src/tracking.cpp:69-71) — evaluated on
+    # the PREVIOUS frame's state, exactly like nextFrame() does.
+    cnt_prev = state.features.count()
+    is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
+
+    pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
+
+    # --- temporal tracking (reference: src/tracking.cpp:154-179) ---
+    tres = KltTracker.track(
+        state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
+        cfg.temporal_klt,
+    )
+    tracked = FeatureSet(
+        pos=tres.pos,
+        valid=state.features.valid & tres.status,
+        point_id=state.features.point_id,
+        age=state.features.age + 1,
+    )
+    n_tracked = tracked.count()
+
+    # --- pose (reference: src/tracking.cpp:181-230) ---
+    Xw = state.map.points[jnp.clip(tracked.point_id, 0)]
+    rng, sub = jax.random.split(state.rng)
+    pres = ransac_pnp(
+        camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
+        T_init=se3.inverse(state.pose),
+    )
+    pose = jnp.where(pres.ok, pres.T_wc, state.pose)
+    feats = tracked._replace(valid=tracked.valid & pres.inliers)
+
+    # record tracking observations for BA
+    mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
+
+    # --- keyframe replenishment (reference: src/tracking.cpp:247-255) ---
+    def kf_branch(op):
+        f, m = op
+        return _replenish(f, m, left, pyr_l, right, pose, fid, camera, cfg)
+
+    feats, mp = jax.lax.cond(is_kf, kf_branch, lambda op: op, (feats, mp))
+
+    # --- sliding-window bundle adjustment (the reference's empty back-end
+    #     thread, src/map.cpp:84-88, realized) ---
+    poses = state.poses.at[fid].set(pose)
+    if cfg.ba.enabled:
+        from svo_tpu.ba.solver import solve_ba
+        from svo_tpu.ba.window import extract_window, write_back
+
+        def ba_branch(op):
+            mp_in, poses_in = op
+            problem, mapping = extract_window(
+                mp_in, poses_in, fid,
+                n_cams=cfg.ba.window,
+                n_points=cfg.ba.max_points,
+                n_obs=cfg.ba.max_obs,
+            )
+            res = solve_ba(
+                problem,
+                camera.K,
+                camera.K[0, 0] * camera.baseline,
+                iterations=cfg.ba.iterations,
+                n_fixed=cfg.ba.n_fixed,
+                huber_delta=cfg.ba.huber_delta,
+                reject_threshold=cfg.ba.reject_threshold,
+                init_lambda=cfg.ba.init_lambda,
+            )
+            improved = res.cost <= res.cost0
+            T_cw_new = jnp.where(improved, res.T_cw, problem.T_cw)
+            pts_new = jnp.where(improved, res.points, problem.points)
+            mp_out, poses_out = write_back(
+                mp_in, poses_in, mapping, T_cw_new, pts_new,
+                problem.pnt_valid, problem.cam_valid,
+            )
+            return mp_out, poses_out
+
+        run_ba = (fid % cfg.ba.interval == 0) & (fid >= cfg.ba.window)
+        mp, poses = jax.lax.cond(run_ba, ba_branch, lambda op: op, (mp, poses))
+        pose = poses[fid]
+
+    metrics_row = jnp.stack(
+        [
+            n_tracked.astype(jnp.float32),
+            pres.inlier_ratio,
+            feats.count().astype(jnp.float32),
+            is_kf.astype(jnp.float32),
+            mp.n_points.astype(jnp.float32),
+        ]
+    )
+    return VoState(
+        features=feats,
+        map=mp,
+        prev_pyramid=pyr_l,
+        frame_id=fid,
+        prev_is_kf=is_kf,
+        pose=pose,
+        poses=poses,
+        kf_flags=state.kf_flags.at[fid].set(is_kf),
+        metrics=state.metrics.at[fid].set(metrics_row),
+        rng=rng,
+    )
+
+
+
+
 def make_step(camera: Camera, cfg: Config):
-    """Build the jitted per-frame step. The returned function has signature
-    (VoState, left (H,W) f32, right (H,W) f32) -> VoState and donates the
-    state (buffers update in place on device)."""
+    """Jitted single-frame step: (VoState, left f32, right f32) -> VoState,
+    donating the state (device buffers update in place)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def step(state: VoState, left: jnp.ndarray, right: jnp.ndarray) -> VoState:
-        fid = state.frame_id + 1
-
-        # keyframe policy (reference: src/tracking.cpp:69-71) — evaluated on
-        # the PREVIOUS frame's state, exactly like nextFrame() does.
-        cnt_prev = state.features.count()
-        is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
-
-        pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
-
-        # --- temporal tracking (reference: src/tracking.cpp:154-179) ---
-        tres = KltTracker.track(
-            state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
-            cfg.temporal_klt,
-        )
-        tracked = FeatureSet(
-            pos=tres.pos,
-            valid=state.features.valid & tres.status,
-            point_id=state.features.point_id,
-            age=state.features.age + 1,
-        )
-        n_tracked = tracked.count()
-
-        # --- pose (reference: src/tracking.cpp:181-230) ---
-        Xw = state.map.points[jnp.clip(tracked.point_id, 0)]
-        rng, sub = jax.random.split(state.rng)
-        pres = ransac_pnp(
-            camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
-            T_init=se3.inverse(state.pose),
-        )
-        pose = jnp.where(pres.ok, pres.T_wc, state.pose)
-        feats = tracked._replace(valid=tracked.valid & pres.inliers)
-
-        # record tracking observations for BA
-        mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
-
-        # --- keyframe replenishment (reference: src/tracking.cpp:247-255) ---
-        def kf_branch(op):
-            f, m = op
-            return _replenish(f, m, left, pyr_l, right, pose, fid, camera, cfg)
-
-        feats, mp = jax.lax.cond(is_kf, kf_branch, lambda op: op, (feats, mp))
-
-        metrics_row = jnp.stack(
-            [
-                n_tracked.astype(jnp.float32),
-                pres.inlier_ratio,
-                feats.count().astype(jnp.float32),
-                is_kf.astype(jnp.float32),
-                mp.n_points.astype(jnp.float32),
-            ]
-        )
-        return VoState(
-            features=feats,
-            map=mp,
-            prev_pyramid=pyr_l,
-            frame_id=fid,
-            prev_is_kf=is_kf,
-            pose=pose,
-            poses=state.poses.at[fid].set(pose),
-            kf_flags=state.kf_flags.at[fid].set(is_kf),
-            metrics=state.metrics.at[fid].set(metrics_row),
-            rng=rng,
-        )
+        return step_body(state, left, right, camera, cfg)
 
     return step
+
+
+def make_chunked_step(camera: Camera, cfg: Config, chunk: int):
+    """Jitted multi-frame step: lax.scan of the frame step over a chunk of
+    `chunk` stereo pairs shipped as uint8 (4x less host->device traffic),
+    amortizing per-dispatch latency — the TPU answer to SURVEY.md §7
+    hard-part #4 (sequential frame dependency vs device throughput)."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(
+        state: VoState, lefts_u8: jnp.ndarray, rights_u8: jnp.ndarray
+    ) -> VoState:
+        def body(st, lr):
+            l, r = lr
+            return (
+                step_body(
+                    st, l.astype(jnp.float32), r.astype(jnp.float32), camera, cfg
+                ),
+                None,
+            )
+
+        state, _ = jax.lax.scan(body, state, (lefts_u8, rights_u8))
+        return state
+
+    return run_chunk
 
 
 def make_bootstrap(camera: Camera, cfg: Config):

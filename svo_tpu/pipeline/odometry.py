@@ -40,12 +40,16 @@ class StereoVO:
     """TPU-native stereo visual odometry engine (the Tracking+Map pair of the
     reference, as one functional pipeline)."""
 
-    def __init__(self, config: Config, camera: Camera, seed: int = 0):
+    def __init__(self, config: Config, camera: Camera, seed: int = 0, chunk: int = 0):
         self.cfg = config
         self.camera = camera
         self.seed = seed
+        self.chunk = chunk
         self._step = frontend.make_step(camera, config)
         self._bootstrap = frontend.make_bootstrap(camera, config)
+        self._chunk_step = (
+            frontend.make_chunked_step(camera, config, chunk) if chunk else None
+        )
         self.state: VoState | None = None
 
     def _prep(self, img: np.ndarray) -> jnp.ndarray:
@@ -107,6 +111,44 @@ class StereoVO:
         jax.block_until_ready(self.state.pose)
         total = time.perf_counter() - t0
         return self.finish(n, total, per_frame_ms)
+
+    def run_chunked(
+        self, frames: list[tuple[int, np.ndarray, np.ndarray]]
+    ) -> RunResult:
+        """Drive a sequence in device-resident chunks: one jitted
+        scan-over-frames dispatch per `chunk` frames, images shipped as uint8.
+        Amortizes host->device dispatch latency (the whole point of the
+        device-resident design — no per-frame host sync)."""
+        assert self._chunk_step is not None, "construct with chunk>0"
+        K = self.chunk
+        H, W = self.cfg.image_height, self.cfg.image_width
+
+        def to_u8(img):
+            h, w = img.shape
+            if (h, w) != (H, W):
+                out = np.zeros((H, W), np.uint8)
+                out[: min(h, H), : min(w, W)] = img[:H, :W].astype(np.uint8)
+                return out
+            return np.clip(img, 0, 255).astype(np.uint8)
+
+        _, l0, r0 = frames[0]
+        self.start(l0, r0)
+        rest = frames[1:]
+        t0 = time.perf_counter()
+        for c0 in range(0, len(rest) - len(rest) % K, K):
+            chunk = rest[c0 : c0 + K]
+            lefts = np.stack([to_u8(l) for _, l, _ in chunk])
+            rights = np.stack([to_u8(r) for _, _, r in chunk])
+            self.state = self._chunk_step(
+                self.state, jnp.asarray(lefts), jnp.asarray(rights)
+            )
+        # tail frames one by one
+        tail_start = len(rest) - len(rest) % K
+        for _, left, right in rest[tail_start:]:
+            self.process(left, right)
+        jax.block_until_ready(self.state.pose)
+        total = time.perf_counter() - t0
+        return self.finish(len(frames), total)
 
     def finish(self, n: int, total_s: float, per_frame_ms=None) -> RunResult:
         st = self.state

@@ -50,7 +50,7 @@ class MapState(NamedTuple):
     points: jnp.ndarray    # (M, 3) f32 world positions
     n_points: jnp.ndarray  # i32 allocation cursor
     # --- observation ring (COO) for windowed BA ---
-    obs_uv: jnp.ndarray    # (O, 2) f32 pixel observation
+    obs_uv: jnp.ndarray    # (O, 3) f32: u_left, v_left, u_right (-1 if mono)
     obs_pid: jnp.ndarray   # (O,) i32 point id
     obs_fid: jnp.ndarray   # (O,) i32 frame id
     obs_cursor: jnp.ndarray  # i32 ring cursor
@@ -58,11 +58,11 @@ class MapState(NamedTuple):
     @staticmethod
     def empty(cfg: Config) -> "MapState":
         m = cfg.capacity.max_points
-        o = cfg.ba.max_obs
+        o = cfg.ba.ring_obs
         return MapState(
             points=jnp.zeros((m, 3), jnp.float32),
             n_points=jnp.zeros((), jnp.int32),
-            obs_uv=jnp.zeros((o, 2), jnp.float32),
+            obs_uv=jnp.zeros((o, 3), jnp.float32),
             obs_pid=jnp.full((o,), -1, jnp.int32),
             obs_fid=jnp.full((o,), -1, jnp.int32),
             obs_cursor=jnp.zeros((), jnp.int32),
