@@ -29,14 +29,24 @@ from svo_tpu.geometry import camera as cam_mod  # noqa: E402
 from svo_tpu.io.synthetic import SyntheticSequence  # noqa: E402
 from svo_tpu.pipeline.odometry import StereoVO  # noqa: E402
 
-N_FRAMES = int(os.environ.get("BENCH_FRAMES", "120"))
 CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))
+# 1 bootstrap frame + k full chunks: avoids compiling the single-step tail path
+N_FRAMES = int(os.environ.get("BENCH_FRAMES", str(1 + 6 * CHUNK)))
 SHAPE = (376, 1241)  # KITTI seq 00 image size
 
 
+def _log(msg):
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
+
+_T0 = time.perf_counter()
+
+
 def main():
+    _log(f"rendering {N_FRAMES} frames...")
     seq = SyntheticSequence(n_frames=N_FRAMES, shape=SHAPE, fx=718.856)
     frames = list(seq)
+    _log("render done")
 
     cfg = Config(use_orb=False, image_height=SHAPE[0], image_width=SHAPE[1])
     camera = cam_mod.from_intrinsics(
@@ -45,11 +55,13 @@ def main():
 
     # --- TPU pipeline: warm-up run (compile), then timed run ---
     vo = StereoVO(cfg, camera, chunk=CHUNK)
-    warm = frames[: CHUNK + 2]
-    vo.run_chunked(warm)  # compiles bootstrap + chunk step + tail step
+    warm = frames[: CHUNK + 1]
+    vo.run_chunked(warm, preload=True)  # compiles bootstrap + chunk step
+    _log("warm-up (compile) done")
     vo2 = StereoVO(cfg, camera, chunk=CHUNK)
-    res = vo2.run_chunked(frames)
+    res = vo2.run_chunked(frames, preload=True)
     tpu_fps = (res.n_frames - 1) / res.total_time_s
+    _log(f"timed run done: {tpu_fps:.2f} fps")
     ate = ate_rmse(res.poses, seq.gt_poses[: res.n_frames])
 
     # --- reference CPU pipeline on the same frames ---
@@ -60,6 +72,7 @@ def main():
     )
     ref_poses, ref_wall, ref_fps = ref.run(frames)
     ref_ate = ate_rmse(ref_poses, seq.gt_poses[: len(ref_poses)])
+    _log(f"reference CPU run done: {ref_fps:.2f} fps")
 
     print(
         json.dumps(

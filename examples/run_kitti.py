@@ -1,0 +1,116 @@
+"""KITTI odometry runner — the reference's main.cpp equivalent.
+
+Wires config + calib parsing + the native async prefetcher + the device
+pipeline + trajectory/metric output (reference: src/main.cpp:38-53, with the
+per-frame log of src/tracking.cpp:261-266 and the end-of-run summary of
+:271-275), plus what the reference never had: saved trajectory (KITTI poses
+format) and numeric ATE/RPE against ground truth.
+
+Usage:
+    python examples/run_kitti.py --config configs/kitti00.yaml
+    python examples/run_kitti.py --path <seq_dir> --calib <calib.txt> \
+        --gt <poses.txt> [--ba] [--chunk 16] [--out traj.txt]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402 — must initialize before cv2/PIL heavy imports
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--config", help="YAML config (reference format accepted)")
+parser.add_argument("--path", help="sequence dir containing image_2/ image_3/")
+parser.add_argument("--calib", help="KITTI calib.txt (P2/P3)")
+parser.add_argument("--gt", help="ground-truth poses txt", default="")
+parser.add_argument("--start", type=int, default=None)
+parser.add_argument("--end", type=int, default=None)
+parser.add_argument("--ba", action="store_true", help="enable windowed BA")
+parser.add_argument("--fast", action="store_true", help="FAST detector (default ORB)")
+parser.add_argument("--chunk", type=int, default=0, help="frames per device dispatch")
+parser.add_argument("--out", default="", help="write estimated trajectory (KITTI format)")
+parser.add_argument("--ply", default="", help="dump map point cloud to PLY")
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--verbose", action="store_true")
+args = parser.parse_args()
+
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+_ = jax.devices()
+
+import numpy as np  # noqa: E402
+
+from svo_tpu.config import BaParams, Config, load_config  # noqa: E402
+from svo_tpu.eval.trajectory import ate_rmse, rpe  # noqa: E402
+from svo_tpu.geometry.camera import parse_kitti_calib  # noqa: E402
+from svo_tpu.io import kitti  # noqa: E402
+from svo_tpu.pipeline.odometry import StereoVO  # noqa: E402
+from svo_tpu.runtime import loader as native_loader  # noqa: E402
+from svo_tpu.viz.dump import save_ply, save_trajectory_kitti  # noqa: E402
+
+# --- config (reference: main.cpp:40-43) ---
+if args.config:
+    cfg = load_config(args.config)
+else:
+    cfg = Config()
+updates = {}
+if args.path:
+    updates["path"] = args.path
+if args.calib:
+    updates["calib_path"] = args.calib
+if args.gt:
+    updates["gt_path"] = args.gt
+if args.start is not None:
+    updates["start_frame"] = args.start
+if args.end is not None:
+    updates["end_frame"] = args.end
+if args.fast:
+    updates["use_orb"] = False
+if args.ba:
+    updates["ba"] = BaParams(enabled=True)
+if updates:
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, **updates)
+
+camera = parse_kitti_calib(cfg.calib_path)
+gt = kitti.parse_ground_truth(cfg.gt_path) if cfg.gt_path else np.zeros((0, 4, 4))
+
+# --- frames: native async prefetcher, Python fallback ---
+H, W = cfg.image_height, cfg.image_width
+if native_loader.available():
+    frames = native_loader.AsyncStereoLoader(
+        cfg.path, cfg.start_frame, cfg.end_frame, H, W, threads=2
+    )
+else:
+    frames = kitti.SequenceReader(cfg.path, cfg.start_frame, cfg.end_frame)
+
+vo = StereoVO(cfg, camera, chunk=args.chunk)
+t0 = time.time()
+if args.chunk:
+    res = vo.run_chunked(list(frames))
+else:
+    res = vo.run(frames, verbose=args.verbose)
+wall = time.time() - t0
+
+print(f"frames:       {res.n_frames}")
+print(f"wall:         {wall:.2f}s  ({res.fps:.2f} fps)")
+print(f"map points:   {int(res.metrics[-1, 4])}")
+print(f"keyframes:    {int(res.kf_flags.sum())}")
+print(f"mean feats:   {res.metrics[1:, 2].mean():.1f}")
+print(f"mean inlier%: {res.metrics[1:, 1].mean() * 100:.1f}")
+if len(gt):
+    n = res.n_frames
+    ate = ate_rmse(res.poses, gt[cfg.start_frame : cfg.start_frame + n])
+    rpe_t, rpe_r = rpe(res.poses, gt[cfg.start_frame : cfg.start_frame + n])
+    print(f"ATE RMSE:     {ate:.4f} m")
+    print(f"RPE:          {rpe_t:.4f} m / {np.rad2deg(rpe_r):.4f} deg per frame")
+if args.out:
+    save_trajectory_kitti(args.out, res.poses)
+    print(f"trajectory -> {args.out}")
+if args.ply and res.map_points is not None:
+    save_ply(args.ply, res.map_points)
+    print(f"map -> {args.ply}")

@@ -24,4 +24,16 @@ import jax as _jax
 # request it explicitly at their call sites.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent compilation cache: the pipeline step is a large program and
+# first-compile (especially via a remote-compile TPU tunnel) is minutes;
+# caching makes every subsequent process start warm.
+import os as _os
+
+_cache_dir = _os.environ.get(
+    "SVO_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/svo_tpu_jax")
+)
+if _cache_dir:
+    _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from svo_tpu.config import Config, load_config  # noqa: F401

@@ -197,7 +197,9 @@ def solve_ba(
             jnp.einsum("pii->p", Hpp), 1e-6
         )[:, None, None] / 3.0
         Hpp_d = Hpp_d + 1e-8 * jnp.eye(3, dtype=r.dtype)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)
+        from svo_tpu.ops.linalg import inv3x3
+
+        Hpp_inv = inv3x3(Hpp_d)
         Hpp_inv = jnp.where(
             problem.pnt_valid[:, None, None], Hpp_inv, jnp.zeros_like(Hpp_inv)
         )

@@ -149,6 +149,10 @@ class Config:
     ransac: RansacParams = field(default_factory=RansacParams)
 
     # --- TPU-native extensions ---
+    # "rectified": closed-form disparity triangulation (exact for rectified
+    # rigs like KITTI, pure arithmetic). "dlt": 4x4 nullspace like
+    # cv::triangulatePoints (reference parity; costs an eigensolve per point).
+    triangulator: str = "rectified"
     bucket: BucketParams = field(default_factory=BucketParams)
     ba: BaParams = field(default_factory=BaParams)
     capacity: Capacity = field(default_factory=Capacity)

@@ -44,7 +44,14 @@ def _normalize_pixels(K: jnp.ndarray, uv: jnp.ndarray) -> jnp.ndarray:
 
 def _dlt6(Xw: jnp.ndarray, xn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Minimal 6-point DLT pose from world points (6,3) and normalized image
-    points (6,2). Returns (R (3,3), t (3,))."""
+    points (6,2). Returns (R (3,3), t (3,)).
+
+    TPU note: the 12x12 null vector comes from fixed-count inverse iteration
+    and the SO(3) projection from a Newton polar iteration — XLA's eigh/svd
+    are serial Jacobi sweeps that dominate frame time on TPU
+    (svo_tpu.ops.linalg)."""
+    from svo_tpu.ops import linalg
+
     ones = jnp.ones_like(Xw[..., :1])
     Xh = jnp.concatenate([Xw, ones], axis=-1)  # (6,4)
     z = jnp.zeros_like(Xh)
@@ -53,18 +60,15 @@ def _dlt6(Xw: jnp.ndarray, xn: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     r2 = jnp.concatenate([z, Xh, -xn[..., 1:2] * Xh], axis=-1)  # (6,12)
     A = jnp.concatenate([r1, r2], axis=-2)  # (12,12)
     A = A / (jnp.linalg.norm(A, axis=-1, keepdims=True) + 1e-12)
-    _, V = jnp.linalg.eigh(A.T @ A)
-    p = V[:, 0]
+    p = linalg.smallest_eigvec_psd(A.T @ A)
     P = p.reshape(3, 4)
     # Cheirality/sign: make depths positive for the sample points.
     depths = Xh @ P[2]
     P = P * jnp.where(jnp.sum(jnp.sign(depths)) < 0, -1.0, 1.0)
     M = P[:, :3]
-    U, S, Vt = jnp.linalg.svd(M)
-    detUV = jnp.linalg.det(U @ Vt)
-    D = jnp.array([1.0, 1.0, 0.0], M.dtype) + jnp.array([0.0, 0.0, 1.0], M.dtype) * detUV
-    R = (U * D[None, :]) @ Vt
-    scale = jnp.mean(S) * detUV  # detUV folds the sign into the scale
+    R = linalg.polar3x3(M)
+    # scale: |M| projected onto R (trace(R^T M) / 3); sign already fixed
+    scale = jnp.einsum("ij,ij->", R, M) / 3.0
     t = P[:, 3] / jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
     return R, t
 

@@ -188,8 +188,15 @@ def _track_impl(
         i22 = a11 * inv_det
 
         # ---- iterate: current window at p_lvl + d ----
-        def body(carry, _):
-            d, conv = carry
+        # while_loop with an all-converged exit: cv2's per-feature eps exit
+        # typically fires within ~5-10 iterations; a fixed 30-50 iteration
+        # scan would serialize 4-10x more tiny steps than needed.
+        def cond_fn(carry):
+            i, d, conv = carry
+            return (i < max_iters) & (~jnp.all(conv | (~status)))
+
+        def body_fn(carry):
+            i, d, conv = carry
             c_off = p_lvl + d - half - c_base
             in_patch = (
                 (c_off[:, 0] >= 0.0)
@@ -208,11 +215,13 @@ def _track_impl(
             active = (~conv) & in_patch
             d_new = jnp.where(active[:, None], d + step, d)
             conv = conv | (du * du + dv * dv < eps2) | (~in_patch)
-            return (d_new, conv), None
+            return (i + 1, d_new, conv)
 
         d0 = guess
         conv0 = jnp.zeros((N,), bool)
-        (d_final, _), _ = jax.lax.scan(body, (d0, conv0), None, length=max_iters)
+        _, d_final, _ = jax.lax.while_loop(
+            cond_fn, body_fn, (jnp.zeros((), jnp.int32), d0, conv0)
+        )
 
         # lost if final window is outside patch (~left the search region) or
         # outside the image at this level

