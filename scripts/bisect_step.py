@@ -111,3 +111,95 @@ def bookkeeping_only(s, l, r):
 
 
 timed("trajectory bookkeeping only", cfg, bookkeeping_only)
+
+
+def replenish_always(s, l, r):
+    pyr_l = KltTracker.build_pyramid(l, cfg.temporal_klt.max_level)
+    fid = s.frame_id + 1
+    feats, mp = frontend._replenish(
+        s.features, s.map, l, pyr_l, r, s.pose, fid, camera, cfg
+    )
+    return s._replace(features=feats, map=mp, frame_id=fid, prev_pyramid=pyr_l)
+
+
+timed("replenish every frame (no cond)", cfg, replenish_always)
+
+
+from svo_tpu.ops import detect as detect_mod
+
+
+def detect_only(s, l, r):
+    pos, score, valid = detect_mod.detect(l, s.features.pos, s.features.valid, cfg)
+    return s._replace(features=s.features._replace(pos=pos[:256] * 1.0))
+
+
+timed("detect only (in scan)", cfg, detect_only)
+
+
+def stereo_only(s, l, r):
+    pyr_l = KltTracker.build_pyramid(l, cfg.stereo_klt.max_level)
+    pyr_r = KltTracker.build_pyramid(r, cfg.stereo_klt.max_level)
+    res = KltTracker.track(pyr_l, pyr_r, s.features.pos, s.features.valid, cfg.stereo_klt)
+    return s._replace(features=s.features._replace(pos=res.pos))
+
+
+timed("stereo pyramids + stereo KLT (in scan)", cfg, stereo_only)
+
+
+def alloc_merge_only(s, l, r):
+    from svo_tpu.geometry.triangulate import triangulate_rectified
+    det_pos = s.features.pos
+    Xc = triangulate_rectified(camera.fx, camera.baseline, det_pos, det_pos - 5.0, camera.K)
+    Xw = se3.transform(s.pose, Xc)
+    ids, mp = frontend._alloc_points(s.map, Xw, s.features.valid)
+    mp = frontend._record_obs(mp, det_pos, ids, s.features.valid, s.frame_id + 1)
+    feats = frontend._merge_features(s.features, det_pos, ids, jnp.ones(256), s.features.valid)
+    return s._replace(features=feats, map=mp, frame_id=s.frame_id + 1)
+
+
+timed("triangulate+alloc+merge (in scan)", cfg, alloc_merge_only)
+
+
+from svo_tpu.geometry.triangulate import triangulate_rectified
+from svo_tpu.ops.klt import KltTracker as KT
+
+
+def make_replenish_variant(no_detect=False, no_stereo=False, no_alloc=False,
+                           no_merge=False):
+    def fn(s, l, r):
+        pyr_l = KT.build_pyramid(l, cfg.temporal_klt.max_level)
+        fid = s.frame_id + 1
+        feats, mp = s.features, s.map
+        if no_detect:
+            det_pos, det_score, det_valid = feats.pos, jnp.ones(256), feats.valid
+        else:
+            det_pos, det_score, det_valid = detect_mod.detect(l, feats.pos, feats.valid, cfg)
+        if no_stereo:
+            rpos, rstat = det_pos - 5.0, det_valid
+        else:
+            pyr_r = KT.build_pyramid(r, cfg.stereo_klt.max_level)
+            sres = KT.track(pyr_l, pyr_r, det_pos, det_valid, cfg.stereo_klt)
+            rpos, rstat = sres.pos, sres.status
+        y_ok = jnp.abs(rpos[:, 1] - det_pos[:, 1]) < cfg.tracking.y_threshold
+        s_valid = det_valid & rstat & y_ok
+        Xc = triangulate_rectified(camera.fx, camera.baseline, det_pos, rpos, camera.K)
+        new_valid = s_valid & (Xc[:, 2] > 0)
+        Xw = se3.transform(s.pose, Xc)
+        if not no_alloc:
+            ids, mp = frontend._alloc_points(mp, Xw, new_valid)
+            new_valid = new_valid & (ids >= 0)
+            u_right = jnp.where(rstat, rpos[:, 0], -1.0)
+            mp = frontend._record_obs(mp, det_pos, ids, new_valid, fid, u_right=u_right)
+        else:
+            ids = jnp.zeros(256, jnp.int32)
+        if not no_merge:
+            feats = frontend._merge_features(feats, det_pos, ids, det_score, new_valid)
+        return s._replace(features=feats, map=mp, frame_id=fid, prev_pyramid=pyr_l)
+    return fn
+
+
+timed("replenish full (variant harness)", cfg, make_replenish_variant())
+timed("replenish w/o detect", cfg, make_replenish_variant(no_detect=True))
+timed("replenish w/o stereo KLT", cfg, make_replenish_variant(no_stereo=True))
+timed("replenish w/o alloc/record", cfg, make_replenish_variant(no_alloc=True))
+timed("replenish w/o merge", cfg, make_replenish_variant(no_merge=True))

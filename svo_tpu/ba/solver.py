@@ -137,7 +137,7 @@ def _robust_weights(r, valid, delta, reject):
     return w, cost
 
 
-@partial(jax.jit, static_argnames=("iterations", "n_fixed"))  # noqa: E302
+@partial(jax.jit, static_argnames=("iterations", "n_fixed", "axis_name"))  # noqa: E302
 def solve_ba(
     problem: BAProblem,
     K_mat: jnp.ndarray,
@@ -147,8 +147,21 @@ def solve_ba(
     huber_delta: float = 5.0,
     reject_threshold: float = 20.0,
     init_lambda: float = 1e-4,
+    axis_name: str | None = None,
 ) -> BAResult:
-    """Run LM with Schur-complement camera reduction on a windowed problem."""
+    """Run LM with Schur-complement camera reduction on a windowed problem.
+
+    Distributed mode (axis_name set, called under shard_map): observations
+    and point slots are SHARDED across the named mesh axis (each shard owns
+    all observations of its points — keyframe-block partitioning), cameras
+    are REPLICATED. Point marginalization is local to each shard; the reduced
+    camera system and the robust cost are the only cross-shard quantities and
+    are combined with psum (one (K,K,6,6) + one (K,6) + one scalar per LM
+    iteration riding ICI). The camera solve is replicated; point
+    back-substitution stays local. See svo_tpu/parallel/ba.py.
+    """
+    def _allreduce(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
     Kc = problem.T_cw.shape[0]
     P = problem.points.shape[0]
     obs_cam = jnp.clip(problem.obs_cam, 0, Kc - 1)
@@ -164,7 +177,7 @@ def solve_ba(
             K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
         )
         _, c = _robust_weights(r, ov, huber_delta, reject_threshold)
-        return c
+        return _allreduce(c)
 
     def lm_step(carry, _):
         T_cw, points, lam, cost = carry
@@ -191,6 +204,9 @@ def solve_ba(
         Wcp = Wcp.reshape(Kc, P, 6, 3)
         bc = jnp.zeros((Kc, 6), r.dtype).at[obs_cam].add(bc_o)
         bp = jnp.zeros((P, 3), r.dtype).at[obs_pnt].add(bp_o)
+        # cross-shard reduction of camera-indexed blocks (no-op single-shard)
+        Hcc = _allreduce(Hcc)
+        bc = _allreduce(bc)
 
         # damped point-block inverse
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=r.dtype) * jnp.maximum(
@@ -207,9 +223,10 @@ def solve_ba(
         # Schur complement S = Hcc - Wcp Hpp^-1 Wcp^T  (dense einsum over P)
         Y = jnp.einsum("apij,pjk->apik", Wcp, Hpp_inv)      # (K,P,6,3)
         S_off = jnp.einsum("apik,bplk->abil", Y, Wcp)       # (K,K,6,6)
+        S_off = _allreduce(S_off)
         S = -S_off
         S = S.at[jnp.arange(Kc), jnp.arange(Kc)].add(Hcc)
-        b_red = bc - jnp.einsum("apik,pk->ai", Y, bp)       # (K,6)
+        b_red = bc - _allreduce(jnp.einsum("apik,pk->ai", Y, bp))  # (K,6)
 
         # flatten to (6K,6K), apply gauge fixing + damping
         Sf = S.transpose(0, 2, 1, 3).reshape(Kc * 6, Kc * 6)
@@ -254,5 +271,5 @@ def solve_ba(
         points=points,
         cost0=cost0,
         cost=cost,
-        n_obs=jnp.sum(ov.astype(jnp.int32)),
+        n_obs=_allreduce(jnp.sum(ov.astype(jnp.int32))),
     )
