@@ -33,6 +33,8 @@ parser.add_argument("--fast", action="store_true", help="FAST detector (default 
 parser.add_argument("--chunk", type=int, default=0, help="frames per device dispatch")
 parser.add_argument("--out", default="", help="write estimated trajectory (KITTI format)")
 parser.add_argument("--ply", default="", help="dump map point cloud to PLY")
+parser.add_argument("--metrics-out", default="", help="write per-frame JSONL + summary")
+parser.add_argument("--plot", default="", help="write top-down trajectory PNG")
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--verbose", action="store_true")
 args = parser.parse_args()
@@ -114,3 +116,18 @@ if args.out:
 if args.ply and res.map_points is not None:
     save_ply(args.ply, res.map_points)
     print(f"map -> {args.ply}")
+if args.metrics_out:
+    import json
+
+    from svo_tpu.utils import metrics as metrics_mod
+
+    metrics_mod.write_frame_records(args.metrics_out, res)
+    summary = metrics_mod.summarize(res)
+    with open(args.metrics_out + ".summary.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"metrics -> {args.metrics_out} (+ .summary.json)")
+if args.plot:
+    from svo_tpu.viz.dump import plot_trajectory
+
+    plot_trajectory(args.plot, res.poses, gt if len(gt) else None)
+    print(f"plot -> {args.plot}")
