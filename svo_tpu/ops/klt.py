@@ -66,28 +66,34 @@ def _bilinear_window(
 ) -> jnp.ndarray:
     """Sample (N, window, window) at fractional offset inside (N, P, P)
     patches. offset is (N, 2) (x, y) of the window's top-left relative to the
-    patch's top-left; must satisfy 0 <= offset <= P - window - 1."""
+    patch's top-left; must satisfy 0 <= offset <= P - window - 1.
+
+    TPU formulation: bilinear sampling as two batched matmuls with
+    iota-built selection-and-blend matrices, S_y @ patch @ S_x^T, where
+    S_y[n, r, p] = (p == iy+r)(1-fy) + (p == iy+r+1) fy. A vmapped
+    dynamic_slice would lower to a gather PER LK ITERATION — the dominant
+    tracker cost; this runs on the MXU instead."""
     N, P, _ = patches.shape
     ox, oy = offset[:, 0], offset[:, 1]
     ix = jnp.floor(ox).astype(jnp.int32)
     iy = jnp.floor(oy).astype(jnp.int32)
-    fx = (ox - ix)[:, None, None]
-    fy = (oy - iy)[:, None, None]
+    fx = (ox - ix)[:, None]  # (N,1)
+    fy = (oy - iy)[:, None]
 
-    def slice_at(p, y0, x0):
-        return jax.lax.dynamic_slice(p, (y0, x0), (window + 1, window + 1))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window, P), 0)  # r
+    cols = jax.lax.broadcasted_iota(jnp.int32, (window, P), 1)  # p
 
-    big = jax.vmap(slice_at)(patches, iy, ix)  # (N, w+1, w+1)
-    tl = big[:, :window, :window]
-    tr = big[:, :window, 1:]
-    bl = big[:, 1:, :window]
-    br = big[:, 1:, 1:]
-    return (
-        tl * (1 - fx) * (1 - fy)
-        + tr * fx * (1 - fy)
-        + bl * (1 - fx) * fy
-        + br * fx * fy
-    )
+    def sel(base, frac):
+        # (N, window, P): blend matrix for one axis
+        b = base[:, None, None] + rows[None]
+        eq0 = (cols[None] == b).astype(patches.dtype)
+        eq1 = (cols[None] == b + 1).astype(patches.dtype)
+        return eq0 * (1.0 - frac[..., None]) + eq1 * frac[..., None]
+
+    Sy = sel(iy, fy)  # (N, w, P)
+    Sx = sel(ix, fx)  # (N, w, P)
+    tmp = jnp.einsum("nrp,npq->nrq", Sy, patches)     # (N, w, P)
+    return jnp.einsum("nrq,ncq->nrc", tmp, Sx)        # (N, w, w)
 
 
 @partial(jax.jit, static_argnames=("window", "max_level", "max_iters", "patch_margin"))
@@ -188,15 +194,15 @@ def _track_impl(
         i22 = a11 * inv_det
 
         # ---- iterate: current window at p_lvl + d ----
-        # while_loop with an all-converged exit: cv2's per-feature eps exit
-        # typically fires within ~5-10 iterations; a fixed 30-50 iteration
-        # scan would serialize 4-10x more tiny steps than needed.
-        def cond_fn(carry):
-            i, d, conv = carry
-            return (i < max_iters) & (~jnp.all(conv | (~status)))
+        # while_loop with an all-converged exit. TPU while_loops carry
+        # substantial fixed per-iteration overhead (~0.5-1 ms measured), far
+        # exceeding the ~50us of actual VPU work per LK update, so UNROLL
+        # LK updates inside each loop iteration and check the global
+        # convergence predicate only between groups. cv2's per-feature eps
+        # exit typically fires within ~5-10 updates.
+        UNROLL = 5
 
-        def body_fn(carry):
-            i, d, conv = carry
+        def one_update(d, conv):
             c_off = p_lvl + d - half - c_base
             in_patch = (
                 (c_off[:, 0] >= 0.0)
@@ -213,9 +219,19 @@ def _track_impl(
             dv = -(i12 * b1 + i22 * b2)
             step = jnp.stack([du, dv], axis=-1)
             active = (~conv) & in_patch
-            d_new = jnp.where(active[:, None], d + step, d)
+            d = jnp.where(active[:, None], d + step, d)
             conv = conv | (du * du + dv * dv < eps2) | (~in_patch)
-            return (i + 1, d_new, conv)
+            return d, conv
+
+        def cond_fn(carry):
+            i, d, conv = carry
+            return (i < max_iters) & (~jnp.all(conv | (~status)))
+
+        def body_fn(carry):
+            i, d, conv = carry
+            for _ in range(UNROLL):
+                d, conv = one_update(d, conv)
+            return (i + UNROLL, d, conv)
 
         d0 = guess
         conv0 = jnp.zeros((N,), bool)

@@ -41,6 +41,33 @@ def save_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None) ->
                 f.write(f"{x:.4f} {y:.4f} {z:.4f}\n")
 
 
+def save_feature_overlay(
+    path: str,
+    image: np.ndarray,
+    positions: np.ndarray,
+    valid: np.ndarray | None = None,
+    radius: int = 3,
+) -> None:
+    """Draw tracked features as green circles on the frame and save a PNG —
+    the offline equivalent of the reference's displayPoints/imshow in the hot
+    loop (src/utils.cpp:19-28, called from src/tracking.cpp:178)."""
+    from PIL import Image, ImageDraw
+
+    img = Image.fromarray(np.clip(image, 0, 255).astype(np.uint8)).convert("RGB")
+    draw = ImageDraw.Draw(img)
+    pos = np.asarray(positions)
+    v = np.ones(len(pos), bool) if valid is None else np.asarray(valid)
+    for (x, y), ok in zip(pos, v):
+        if not ok:
+            continue
+        draw.ellipse(
+            [x - radius, y - radius, x + radius, y + radius],
+            outline=(0, 255, 0),
+            width=1,
+        )
+    img.save(path)
+
+
 def plot_trajectory(
     out_path: str,
     est_poses: np.ndarray,
