@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from svo_tpu.config import Config
 from svo_tpu.geometry import se3
-from svo_tpu.geometry.camera import Camera
+from svo_tpu.geometry.camera import Camera, project as camera_project
 from svo_tpu.geometry.pnp import ransac_pnp
 from svo_tpu.geometry.triangulate import triangulate_dlt, triangulate_rectified
 from svo_tpu.ops import detect as detect_mod
@@ -176,9 +176,25 @@ def step_body(
     pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
 
     # --- temporal tracking (reference: src/tracking.cpp:154-179) ---
+    # Constant-velocity prior: predict this frame's pose from the stored
+    # relative motion (which the reference computes at tracking.cpp:215 and
+    # never uses) and seed the KLT flow with the predicted reprojection
+    # displacement — fewer LK iterations and longer-lived tracks.
+    T_wc_pred = se3.compose(state.rel_motion, state.pose)
+    T_cw_pred = se3.inverse(T_wc_pred)
+    Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
+    uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
+    init_flow = uv_pred - state.features.pos
+    flow_ok = (
+        state.features.valid
+        & jnp.all(jnp.isfinite(init_flow), axis=-1)
+        & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
+    )
+    init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+
     tres = KltTracker.track(
         state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
-        cfg.temporal_klt,
+        cfg.temporal_klt, init_flow=init_flow,
     )
     tracked = FeatureSet(
         pos=tres.pos,
@@ -193,9 +209,10 @@ def step_body(
     rng, sub = jax.random.split(state.rng)
     pres = ransac_pnp(
         camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
-        T_init=se3.inverse(state.pose),
+        T_init=T_cw_pred,
     )
-    pose = jnp.where(pres.ok, pres.T_wc, state.pose)
+    pose = jnp.where(pres.ok, pres.T_wc, T_wc_pred)
+    rel_motion = se3.compose(pose, se3.inverse(state.pose))
     feats = tracked._replace(valid=tracked.valid & pres.inliers)
 
     # record tracking observations for BA
@@ -262,6 +279,7 @@ def step_body(
         frame_id=fid,
         prev_is_kf=is_kf,
         pose=pose,
+        rel_motion=rel_motion,
         poses=poses,
         kf_flags=state.kf_flags.at[fid].set(is_kf),
         metrics=state.metrics.at[fid].set(metrics_row),
@@ -348,6 +366,7 @@ def make_bootstrap(camera: Camera, cfg: Config):
             frame_id=jnp.zeros((), jnp.int32),
             prev_is_kf=jnp.ones((), bool),
             pose=pose0,
+            rel_motion=jnp.eye(4, dtype=jnp.float32),
             poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1)),
             kf_flags=jnp.zeros((F,), bool).at[0].set(True),
             metrics=metrics0,
