@@ -24,8 +24,8 @@ H, W, N = 376, 1241, 256
 rng = np.random.default_rng(0)
 
 # smooth-but-textured synthetic image pair with known shift
-base = rng.uniform(0, 255, (H // 4, W // 4)).astype(np.float32)
-img0 = np.kron(base, np.ones((4, 4), np.float32))
+base = rng.uniform(0, 255, (H // 4 + 1, W // 4 + 1)).astype(np.float32)
+img0 = np.kron(base, np.ones((4, 4), np.float32))[:H, :W]
 img0 += rng.uniform(-10, 10, (H, W)).astype(np.float32)
 for _ in range(2):
     img0 = 0.25 * (

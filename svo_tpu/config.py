@@ -62,6 +62,11 @@ class KltParams:
     max_iters: int = 50
     eps: float = 1e-3         # convergence threshold on |delta| per iteration
     min_eig_threshold: float = 1e-4  # cv2 minEigThreshold default
+    # Early exit when this fraction of features has converged. The per-level
+    # loop runs in lockstep on TPU, so a handful of diverging stragglers
+    # (which the y-gate/RANSAC discard anyway) would otherwise hold every
+    # level at max_iters. 1.0 = exact cv2 semantics.
+    early_exit_frac: float = 0.98
 
 
 @dataclass(frozen=True)

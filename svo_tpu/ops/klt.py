@@ -96,7 +96,12 @@ def _bilinear_window(
     return jnp.einsum("nrq,ncq->nrc", tmp, Sx)        # (N, w, w)
 
 
-@partial(jax.jit, static_argnames=("window", "max_level", "max_iters", "patch_margin"))
+@partial(
+    jax.jit,
+    static_argnames=(
+        "window", "max_level", "max_iters", "patch_margin", "early_exit_frac"
+    ),
+)
 def _track_impl(
     prev_levels: tuple[jnp.ndarray, ...],
     curr_levels: tuple[jnp.ndarray, ...],
@@ -110,6 +115,7 @@ def _track_impl(
     eps: float,
     min_eig_threshold: float,
     patch_margin: int,
+    early_exit_frac: float = 1.0,
 ):
     N = pos.shape[0]
     w = window
@@ -223,9 +229,14 @@ def _track_impl(
             conv = conv | (du * du + dv * dv < eps2) | (~in_patch)
             return d, conv
 
+        # stragglers allowed to remain unconverged at exit (they keep their
+        # current displacement, exactly like hitting cv2's max_iters)
+        allowed = int(round((1.0 - early_exit_frac) * N))
+
         def cond_fn(carry):
             i, d, conv = carry
-            return (i < max_iters) & (~jnp.all(conv | (~status)))
+            n_active = jnp.sum((~(conv | (~status))).astype(jnp.int32))
+            return (i < max_iters) & (n_active > allowed)
 
         def body_fn(carry):
             i, d, conv = carry
@@ -319,4 +330,5 @@ class KltTracker:
             eps=params.eps,
             min_eig_threshold=params.min_eig_threshold,
             patch_margin=patch_margin,
+            early_exit_frac=getattr(params, "early_exit_frac", 1.0),
         )
