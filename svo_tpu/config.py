@@ -158,6 +158,9 @@ class Config:
     # rigs like KITTI, pure arithmetic). "dlt": 4x4 nullspace like
     # cv::triangulatePoints (reference parity; costs an eigensolve per point).
     triangulator: str = "rectified"
+    # constant-velocity motion prior seeding KLT flow + PnP (the relative
+    # motion the reference computes and never uses, src/tracking.cpp:215)
+    motion_prior: bool = True
     bucket: BucketParams = field(default_factory=BucketParams)
     ba: BaParams = field(default_factory=BaParams)
     capacity: Capacity = field(default_factory=Capacity)

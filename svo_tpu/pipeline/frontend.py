@@ -180,17 +180,29 @@ def step_body(
     # relative motion (which the reference computes at tracking.cpp:215 and
     # never uses) and seed the KLT flow with the predicted reprojection
     # displacement — fewer LK iterations and longer-lived tracks.
-    T_wc_pred = se3.compose(state.rel_motion, state.pose)
-    T_cw_pred = se3.inverse(T_wc_pred)
-    Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
-    uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
-    init_flow = uv_pred - state.features.pos
-    flow_ok = (
-        state.features.valid
-        & jnp.all(jnp.isfinite(init_flow), axis=-1)
-        & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
-    )
-    init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+    if cfg.motion_prior:
+        # The prior is only trustworthy while PnP has been healthy: a failed
+        # pose would otherwise seed every feature into the wrong basin and
+        # lock the pipeline into a divergence loop. prior_ok gates both the
+        # flow seeding and the pose extrapolation.
+        prior_ok = state.prior_ok
+        rel = jnp.where(prior_ok, state.rel_motion, jnp.eye(4, dtype=state.pose.dtype))
+        T_wc_pred = se3.compose(rel, state.pose)
+        T_cw_pred = se3.inverse(T_wc_pred)
+        Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
+        uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
+        init_flow = uv_pred - state.features.pos
+        flow_ok = (
+            state.features.valid
+            & prior_ok
+            & jnp.all(jnp.isfinite(init_flow), axis=-1)
+            & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
+        )
+        init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+    else:
+        T_wc_pred = state.pose
+        T_cw_pred = se3.inverse(state.pose)
+        init_flow = None
 
     tres = KltTracker.track(
         state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
@@ -212,8 +224,29 @@ def step_body(
         T_init=T_cw_pred,
     )
     pose = jnp.where(pres.ok, pres.T_wc, T_wc_pred)
+    # hard guard: never let a non-finite pose poison the recursive state
+    pose = jnp.where(jnp.all(jnp.isfinite(pose)), pose, state.pose)
     rel_motion = se3.compose(pose, se3.inverse(state.pose))
-    feats = tracked._replace(valid=tracked.valid & pres.inliers)
+    rel_motion = jnp.where(
+        jnp.all(jnp.isfinite(rel_motion)), rel_motion, jnp.eye(4, dtype=pose.dtype)
+    )
+    pnp_healthy = pres.ok & (pres.inlier_ratio > 0.5)
+
+    # Purge features whose map point has gone geometrically stale under the
+    # new pose (behind the camera / out of view): such points carry amplified
+    # triangulation depth error and would bias the next PnP consensus. The
+    # reference self-heals only because its tracker loses features faster.
+    Xc_now = se3.transform(se3.inverse(pose), Xw)
+    uv_now = camera_project(camera.K, Xc_now)
+    Hh, Ww = cfg.image_height, cfg.image_width
+    geom_ok = (
+        (Xc_now[:, 2] > 0.5)
+        & (uv_now[:, 0] >= -20)
+        & (uv_now[:, 0] < Ww + 20)
+        & (uv_now[:, 1] >= -20)
+        & (uv_now[:, 1] < Hh + 20)
+    )
+    feats = tracked._replace(valid=tracked.valid & pres.inliers & geom_ok)
 
     # record tracking observations for BA
     mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
@@ -280,6 +313,7 @@ def step_body(
         prev_is_kf=is_kf,
         pose=pose,
         rel_motion=rel_motion,
+        prior_ok=pnp_healthy,
         poses=poses,
         kf_flags=state.kf_flags.at[fid].set(is_kf),
         metrics=state.metrics.at[fid].set(metrics_row),
@@ -367,6 +401,7 @@ def make_bootstrap(camera: Camera, cfg: Config):
             prev_is_kf=jnp.ones((), bool),
             pose=pose0,
             rel_motion=jnp.eye(4, dtype=jnp.float32),
+            prior_ok=jnp.zeros((), bool),
             poses=jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1)),
             kf_flags=jnp.zeros((F,), bool).at[0].set(True),
             metrics=metrics0,

@@ -79,6 +79,7 @@ class VoState(NamedTuple):
     rel_motion: jnp.ndarray    # (4,4) T_wc(t) @ inv(T_wc(t-1)) — constant-
     # velocity prior. The reference computes exactly this and never uses it
     # (src/tracking.cpp:215); here it seeds the KLT flow and the PnP pose.
+    prior_ok: jnp.ndarray      # bool — last PnP was healthy; gates the prior
     poses: jnp.ndarray         # (F, 4, 4) trajectory (camera-to-world)
     kf_flags: jnp.ndarray      # (F,) bool
     metrics: jnp.ndarray       # (F, 5): n_tracked, inlier_ratio, n_final, is_kf, n_map_pts
