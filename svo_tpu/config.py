@@ -49,6 +49,24 @@ class TrackingParams:
 
     y_threshold: float = 40.0
     features_to_track: int = 70
+    # Forward-backward verification of temporal tracks: re-track curr->prev
+    # and kill features whose round trip misses the start by more than
+    # fb_threshold px. Breaks the prior->KLT->PnP positive feedback loop on
+    # weak texture: a feature dragged to a gradient-free region by the motion
+    # prior's flow seed cannot find its way back, while a genuine track can.
+    fb_check: bool = True
+    fb_threshold: float = 1.0
+    # Eager keyframing beyond the reference's count-only rule: force a
+    # keyframe every kf_max_interval frames (0 disables). Long keyframe gaps
+    # let chained KLT drift and stale far-point triangulations degrade the
+    # PnP problem into a flat valley (the reference survives only because
+    # cv2's tracker sheds features faster, forcing replenishment).
+    kf_max_interval: int = 6
+    # Cap the depth (in baselines) of newly triangulated points: beyond
+    # ~100 baselines stereo depth error exceeds tens of percent and such
+    # points drag the pose. The reference has no gate (cheirality only,
+    # src/tracking.cpp:136).
+    max_depth_baselines: float = 100.0
 
 
 @dataclass(frozen=True)
@@ -79,7 +97,8 @@ class RansacParams:
 
     num_hypotheses: int = 128
     reproj_threshold: float = 8.0
-    refine_iters: int = 10    # Gauss-Newton refinement iterations on inliers
+    refine_iters: int = 5     # Gauss-Newton iterations per LO round
+    lo_rounds: int = 3        # refine <-> inlier-reselect alternations (LO-RANSAC)
 
 
 @dataclass(frozen=True)
@@ -145,11 +164,15 @@ class Config:
 
     # --- surfaced hardcoded reference params ---
     mask_halfwidth: int = 10       # detection suppression half-width (tracking.cpp:78)
+    # Iteration budgets below the reference's 30/50 (src/tracking.cpp:98-105,
+    # 157-164): LK converges quadratically, cv2's eps exit typically fires
+    # within ~5-10 updates, and with eager keyframing (fresh templates) the
+    # extra budget only pays for features the fb-check kills anyway.
     stereo_klt: KltParams = field(
-        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=30)
+        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=16)
     )
     temporal_klt: KltParams = field(
-        default_factory=lambda: KltParams(window=21, max_level=3, max_iters=50)
+        default_factory=lambda: KltParams(window=21, max_level=3, max_iters=20)
     )
     ransac: RansacParams = field(default_factory=RansacParams)
 
@@ -158,9 +181,14 @@ class Config:
     # rigs like KITTI, pure arithmetic). "dlt": 4x4 nullspace like
     # cv::triangulatePoints (reference parity; costs an eigensolve per point).
     triangulator: str = "rectified"
-    # constant-velocity motion prior seeding KLT flow + PnP (the relative
-    # motion the reference computes and never uses, src/tracking.cpp:215)
+    # constant-velocity motion prior entering PnP as an extra verified
+    # hypothesis (built from the relative motion the reference computes and
+    # never uses, src/tracking.cpp:215)
     motion_prior: bool = True
+    # additionally seed KLT flow with the prior's predicted displacement.
+    # OFF by default: on weak texture this closes a self-confirming
+    # prior->tracks->pose feedback loop (see pipeline/frontend.py).
+    flow_seeding: bool = False
     bucket: BucketParams = field(default_factory=BucketParams)
     ba: BaParams = field(default_factory=BaParams)
     capacity: Capacity = field(default_factory=Capacity)

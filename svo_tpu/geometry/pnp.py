@@ -170,8 +170,11 @@ def ransac_pnp(
     Rs, ts = jax.vmap(_dlt6)(Xs, xs)  # (H,3,3), (H,3)
     T_h = se3.from_rt(Rs, ts)         # (H,4,4) world->camera
     if T_init is not None:
-        T_h = jnp.concatenate([T_h, T_init[None]], axis=0)
-        H = H + 1
+        T_init = jnp.asarray(T_init)
+        if T_init.ndim == 2:
+            T_init = T_init[None]
+        T_h = jnp.concatenate([T_h, T_init], axis=0)
+        H = H + T_init.shape[0]
 
     # --- 3. score all hypotheses ---
     thr2 = params.reproj_threshold ** 2
@@ -179,14 +182,29 @@ def ransac_pnp(
     finite = jnp.all(jnp.isfinite(T_h.reshape(H, -1)), axis=-1)
     inl = (err2 < thr2) & (z > 0) & valid[None, :]  # (H,N)
     counts = jnp.sum(inl, axis=-1) * finite.astype(jnp.int32)
-    best = jnp.argmax(counts)
+    # MSAC score: truncated squared residual (cheirality failures saturate).
+    # Unlike a pure inlier count this breaks ties between hypotheses that
+    # both capture all points (e.g. the two branches of the planar PnP
+    # ambiguity) in favor of the lower-residual one.
+    res2 = jnp.where((z > 0), jnp.minimum(err2, thr2), thr2)
+    msac = jnp.sum(jnp.where(valid[None, :], res2, 0.0), axis=-1)
+    msac = jnp.where(finite, msac, jnp.inf)
+    best = jnp.argmin(msac)
     T_best = T_h[best]
     inliers0 = inl[best]
 
-    # --- 4. refine on inliers, then final inlier set ---
-    T_ref = _gn_refine(K, T_best, Xw, uv, inliers0.astype(jnp.float32), params.refine_iters)
-    err2_f, z_f = _reproj_errors(K, T_ref, Xw, uv)
-    inliers = (err2_f < thr2) & (z_f > 0) & valid
+    # --- 4. locally-optimized refinement (LO-RANSAC): alternate masked
+    # Gauss-Newton with inlier re-selection. A minimal DLT hypothesis is
+    # noisy and typically captures only a fraction of the true inliers;
+    # refining once on that biased subset leaves the pose off by ~0.5deg.
+    # Each round expands the consensus set and re-fits on it. ---
+    T_ref, inliers = T_best, inliers0
+    for _ in range(params.lo_rounds):
+        T_ref = _gn_refine(
+            K, T_ref, Xw, uv, inliers.astype(jnp.float32), params.refine_iters
+        )
+        err2_f, z_f = _reproj_errors(K, T_ref, Xw, uv)
+        inliers = (err2_f < thr2) & (z_f > 0) & valid
     # Fall back to the unrefined pose if refinement diverged.
     worse = jnp.sum(inliers) < jnp.sum(inliers0)
     T_final = jnp.where(worse, T_best, T_ref)

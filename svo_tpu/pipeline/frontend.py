@@ -19,6 +19,8 @@ state -> state with images streaming in.
 
 from __future__ import annotations
 
+import dataclasses
+
 from functools import partial
 from typing import Any
 
@@ -143,6 +145,10 @@ def _replenish(
     else:
         Xc = triangulate_dlt(camera.P_left, camera.P_right, det_pos, sres.pos)
     new_valid = s_valid & (Xc[:, 2] > 0)
+    if cfg.tracking.max_depth_baselines > 0:
+        new_valid = new_valid & (
+            Xc[:, 2] < cfg.tracking.max_depth_baselines * camera.baseline
+        )
     Xw = se3.transform(pose, Xc)
 
     # 4. allocate map points + record the triangulating observation
@@ -169,9 +175,16 @@ def step_body(
     fid = state.frame_id + 1
 
     # keyframe policy (reference: src/tracking.cpp:69-71) — evaluated on
-    # the PREVIOUS frame's state, exactly like nextFrame() does.
+    # the PREVIOUS frame's state, exactly like nextFrame() does — plus an
+    # eager max-interval trigger (see TrackingParams.kf_max_interval).
     cnt_prev = state.features.count()
     is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
+    if cfg.tracking.kf_max_interval > 0:
+        is_kf = is_kf | (
+            (~state.prev_is_kf)
+            & (fid - state.last_kf_id >= cfg.tracking.kf_max_interval)
+        )
+    last_kf_id = jnp.where(is_kf, fid, state.last_kf_id)
 
     pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
 
@@ -189,16 +202,27 @@ def step_body(
         rel = jnp.where(prior_ok, state.rel_motion, jnp.eye(4, dtype=state.pose.dtype))
         T_wc_pred = se3.compose(rel, state.pose)
         T_cw_pred = se3.inverse(T_wc_pred)
-        Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
-        uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
-        init_flow = uv_pred - state.features.pos
-        flow_ok = (
-            state.features.valid
-            & prior_ok
-            & jnp.all(jnp.isfinite(init_flow), axis=-1)
-            & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
-        )
-        init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+        if cfg.flow_seeding:
+            # Seeding KLT with the predicted reprojection displacement closes
+            # a positive feedback loop (prior -> seeded tracks -> PnP
+            # consensus -> prior) on weak texture: tracks that converge at
+            # their seed confirm whatever the prior predicted, and the pose
+            # error compounds exponentially. Off by default — the prior
+            # still enters as a PnP hypothesis below, where it is verified
+            # against independently tracked features instead of steering
+            # them.
+            Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
+            uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
+            init_flow = uv_pred - state.features.pos
+            flow_ok = (
+                state.features.valid
+                & prior_ok
+                & jnp.all(jnp.isfinite(init_flow), axis=-1)
+                & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
+            )
+            init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+        else:
+            init_flow = None
     else:
         T_wc_pred = state.pose
         T_cw_pred = se3.inverse(state.pose)
@@ -208,9 +232,26 @@ def step_body(
         state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
         cfg.temporal_klt, init_flow=init_flow,
     )
+    t_status = state.features.valid & tres.status
+    if cfg.tracking.fb_check:
+        # Forward-backward verification: track curr->prev seeded with the
+        # reverse flow and require the round trip to land within
+        # fb_threshold px of the start. Kills drifted/dragged tracks (which
+        # would otherwise form a self-confirming consensus with the pose).
+        # The backward pass starts from an exact seed, so level 0 with a
+        # small iteration budget suffices (~1/8 the forward cost).
+        fb_params = dataclasses.replace(cfg.temporal_klt, max_level=0, max_iters=10)
+        bres = KltTracker.track(
+            pyr_l, state.prev_pyramid, tres.pos, t_status,
+            fb_params, init_flow=state.features.pos - tres.pos,
+        )
+        fb_err2 = jnp.sum((bres.pos - state.features.pos) ** 2, axis=-1)
+        t_status = t_status & bres.status & (
+            fb_err2 < cfg.tracking.fb_threshold ** 2
+        )
     tracked = FeatureSet(
         pos=tres.pos,
-        valid=state.features.valid & tres.status,
+        valid=t_status,
         point_id=state.features.point_id,
         age=state.features.age + 1,
     )
@@ -219,9 +260,15 @@ def step_body(
     # --- pose (reference: src/tracking.cpp:181-230) ---
     Xw = state.map.points[jnp.clip(tracked.point_id, 0)]
     rng, sub = jax.random.split(state.rng)
+    # Hypothesis seed: the PREVIOUS pose only (zero-velocity). Seeding with
+    # the constant-velocity extrapolation compounds: the prediction carries
+    # last frame's error forward, wins MSAC whenever the minimal hypotheses
+    # are noisy, and the rotation error grows exponentially (~x1.5/frame
+    # measured). The previous pose contracts error instead. The prediction
+    # is used only as the fallback when PnP fails outright (below).
     pres = ransac_pnp(
         camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
-        T_init=T_cw_pred,
+        T_init=se3.inverse(state.pose),
     )
     pose = jnp.where(pres.ok, pres.T_wc, T_wc_pred)
     # hard guard: never let a non-finite pose poison the recursive state
@@ -311,6 +358,7 @@ def step_body(
         prev_pyramid=pyr_l,
         frame_id=fid,
         prev_is_kf=is_kf,
+        last_kf_id=last_kf_id,
         pose=pose,
         rel_motion=rel_motion,
         prior_ok=pnp_healthy,
@@ -399,6 +447,7 @@ def make_bootstrap(camera: Camera, cfg: Config):
             prev_pyramid=pyr_l,
             frame_id=jnp.zeros((), jnp.int32),
             prev_is_kf=jnp.ones((), bool),
+            last_kf_id=jnp.zeros((), jnp.int32),
             pose=pose0,
             rel_motion=jnp.eye(4, dtype=jnp.float32),
             prior_ok=jnp.zeros((), bool),

@@ -75,6 +75,7 @@ class VoState(NamedTuple):
     prev_pyramid: Any          # ((levels...), (grads...)) of the previous left image
     frame_id: jnp.ndarray      # i32 id of the PREVIOUS processed frame
     prev_is_kf: jnp.ndarray    # bool
+    last_kf_id: jnp.ndarray    # i32 id of the most recent keyframe
     pose: jnp.ndarray          # (4,4) T_wc of the previous frame
     rel_motion: jnp.ndarray    # (4,4) T_wc(t) @ inv(T_wc(t-1)) — constant-
     # velocity prior. The reference computes exactly this and never uses it
