@@ -1,0 +1,102 @@
+"""Single-chip multi-stream VO: vmap the whole frame step over S streams.
+
+The VO frame loop is latency-bound (SURVEY.md §7 hard-part #4): one stream
+leaves the chip idle between tiny kernels. The TPU answer to throughput is
+batching, not threads — `jax.vmap` of the full per-frame step over S
+independent sequences turns every per-feature op into an (S*N)-row op (the
+KLT normal equations, bilinear-blend matmuls, PnP hypothesis scoring all get
+wider and fill the VPU/MXU), while `lax.scan` over a chunk of frames
+amortizes dispatch. This is the one-chip analogue of parallel/multi_seq.py
+(which gives each device of a mesh its own stream); production serving runs
+batched streams per chip x streams per device mesh-wide.
+
+Under vmap the keyframe `lax.cond` lowers to both-branches + select, so every
+frame pays the replenish path for every stream; measured, batching still wins
+by a wide margin because the replenish kernels batch just as well.
+
+Reference mapping: this subsumes running S copies of the reference binary
+(src/main.cpp:38-53) — one process per KITTI sequence — on S cores; here the
+streams share one compiled program and one chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svo_tpu.config import Config
+from svo_tpu.geometry.camera import Camera
+from svo_tpu.pipeline import frontend
+
+
+class BatchedStereoVO:
+    """S independent VO streams on ONE device, stepped in lockstep.
+
+    All streams share one static Config and one camera (KITTI sequences of
+    the same image geometry); state is a pytree with a leading (S,) axis.
+    """
+
+    def __init__(self, cfg: Config, camera: Camera, n_streams: int, chunk: int = 8):
+        self.cfg = cfg
+        self.camera = camera
+        self.S = n_streams
+        self.chunk = chunk
+        self.state = None
+
+        boot = frontend.make_bootstrap(camera, cfg)
+        self._boot = jax.jit(jax.vmap(boot))
+
+        def step_one(st, l, r):
+            return frontend.step_body(
+                st, l.astype(jnp.float32), r.astype(jnp.float32), camera, cfg
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def run_chunk(state, lefts_u8, rights_u8):
+            # lefts_u8/rights_u8: (K, S, H, W) — frame-major so scan slices
+            # contiguously per step.
+            def body(st, lr):
+                l, r = lr
+                return jax.vmap(step_one)(st, l, r), None
+
+            state, _ = jax.lax.scan(body, state, (lefts_u8, rights_u8))
+            return state
+
+        self._chunk_step = run_chunk
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def step(state, lefts, rights):
+            return jax.vmap(step_one)(state, lefts, rights)
+
+        self._step = step
+
+    # -- driving --------------------------------------------------------
+
+    def start(self, lefts: np.ndarray, rights: np.ndarray, seed: int = 0):
+        """lefts/rights: (S, H, W) first frame of each stream."""
+        seeds = jnp.arange(self.S, dtype=jnp.uint32) + jnp.uint32(seed)
+        self.state = self._boot(
+            jnp.asarray(lefts, jnp.float32), jnp.asarray(rights, jnp.float32), seeds
+        )
+
+    def process(self, lefts: np.ndarray, rights: np.ndarray):
+        """One frame for every stream: (S, H, W)."""
+        self.state = self._step(
+            self.state,
+            jnp.asarray(lefts, jnp.float32),
+            jnp.asarray(rights, jnp.float32),
+        )
+
+    def process_chunk(self, lefts_u8, rights_u8):
+        """A chunk of frames for every stream: (K, S, H, W) uint8 arrays
+        (device-resident or host; uint8 keeps host->device traffic 4x down)."""
+        self.state = self._chunk_step(
+            self.state, jnp.asarray(lefts_u8), jnp.asarray(rights_u8)
+        )
+
+    def trajectories(self, n_frames: int) -> np.ndarray:
+        """(S, n_frames, 4, 4) camera-to-world trajectories."""
+        return np.asarray(self.state.poses[:, :n_frames])

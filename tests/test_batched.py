@@ -1,0 +1,77 @@
+"""Single-chip vmapped multi-stream VO must match per-stream execution."""
+
+import numpy as np
+
+from svo_tpu.config import Config
+from svo_tpu.geometry import camera as cam_mod
+from svo_tpu.io.synthetic import SyntheticSequence
+from svo_tpu.parallel.batched import BatchedStereoVO
+from svo_tpu.pipeline.odometry import StereoVO
+
+
+def _make(S, F, shape):
+    seqs = [
+        SyntheticSequence(n_frames=F, shape=shape, fx=200.0, speed=0.2 + 0.02 * s,
+                          seed=s)
+        for s in range(S)
+    ]
+    all_frames = [list(sq) for sq in seqs]
+    cfg = Config(use_orb=False, image_height=shape[0], image_width=shape[1])
+    camera = cam_mod.from_intrinsics(200.0, 200.0, 160.0, 92.0, seqs[0].baseline)
+    return all_frames, cfg, camera
+
+
+def test_batched_matches_single():
+    S, F = 3, 5
+    shape = (184, 320)
+    all_frames, cfg, camera = _make(S, F, shape)
+
+    bvo = BatchedStereoVO(cfg, camera, S)
+    bvo.start(
+        np.stack([fr[0][1] for fr in all_frames]),
+        np.stack([fr[0][2] for fr in all_frames]),
+    )
+    for t in range(1, F):
+        bvo.process(
+            np.stack([fr[t][1] for fr in all_frames]),
+            np.stack([fr[t][2] for fr in all_frames]),
+        )
+    trajs = bvo.trajectories(F)
+    assert trajs.shape == (S, F, 4, 4)
+
+    vo = StereoVO(cfg, camera, seed=1)
+    res = vo.run(all_frames[1])
+    np.testing.assert_allclose(trajs[1], res.poses[:F], atol=1e-3)
+
+    assert not np.allclose(trajs[0][:, :3, 3], trajs[2][:, :3, 3], atol=1e-3)
+
+
+def test_batched_chunked_matches_stepwise():
+    S, F = 2, 5  # 1 bootstrap + 4 = one chunk of 4
+    shape = (184, 320)
+    all_frames, cfg, camera = _make(S, F, shape)
+
+    l0 = np.stack([fr[0][1] for fr in all_frames])
+    r0 = np.stack([fr[0][2] for fr in all_frames])
+
+    def u8(x):
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    # (K, S, H, W) frame-major chunk
+    lefts = np.stack([np.stack([u8(fr[t][1]) for fr in all_frames])
+                      for t in range(1, F)])
+    rights = np.stack([np.stack([u8(fr[t][2]) for fr in all_frames])
+                       for t in range(1, F)])
+
+    a = BatchedStereoVO(cfg, camera, S, chunk=F - 1)
+    a.start(l0, r0)
+    a.process_chunk(lefts, rights)
+    traj_chunk = a.trajectories(F)
+
+    b = BatchedStereoVO(cfg, camera, S)
+    b.start(l0, r0)
+    for t in range(F - 1):
+        b.process(lefts[t].astype(np.float32), rights[t].astype(np.float32))
+    traj_step = b.trajectories(F)
+
+    np.testing.assert_allclose(traj_chunk, traj_step, atol=1e-4)
