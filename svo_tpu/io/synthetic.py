@@ -104,6 +104,9 @@ def render_frame(
         hit = (t > 0.1) & (t < best_t) & (np.abs(denom) > 1e-9)
         if not hit.any():
             continue
+        # guard non-hit rays (t may be inf/NaN where denom ~ 0) before they
+        # enter arithmetic below — keeps bench stderr free of numpy warnings
+        t = np.where(hit, t, 1.0)
         pts = origin + dirs * t[..., None]
         rel = pts - pl.p
         tu = (rel @ pl.u) / pl.scale

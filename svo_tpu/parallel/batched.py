@@ -10,9 +10,14 @@ amortizes dispatch. This is the one-chip analogue of parallel/multi_seq.py
 (which gives each device of a mesh its own stream); production serving runs
 batched streams per chip x streams per device mesh-wide.
 
-Under vmap the keyframe `lax.cond` lowers to both-branches + select, so every
-frame pays the replenish path for every stream; measured, batching still wins
-by a wide margin because the replenish kernels batch just as well.
+Keyframing in the chunked path is STATICALLY CADENCED
+(frontend.make_cadenced_chunk_step): under vmap a data-dependent keyframe
+`lax.cond` lowers to both-branches + select, so every stream would pay dense
+detection + stereo KLT + triangulation on every frame — the round-1 batched
+mode lost to a single stream exactly this way. With the static cadence the
+replenish program exists only in 1-in-cadence steps and the track-only steps
+carry no detection code at all. The per-frame `process` path keeps the
+reference's dynamic rule for parity testing.
 
 Reference mapping: this subsumes running S copies of the reference binary
 (src/main.cpp:38-53) — one process per KITTI sequence — on S cores; here the
@@ -37,35 +42,45 @@ class BatchedStereoVO:
 
     All streams share one static Config and one camera (KITTI sequences of
     the same image geometry); state is a pytree with a leading (S,) axis.
+
+    Args:
+        chunk: frames per chunked dispatch (process_chunk input length).
+        kf_cadence: static keyframe period for the chunked path (must divide
+            chunk). 0 picks cfg.tracking.kf_max_interval (or 4 if that is 0).
     """
 
-    def __init__(self, cfg: Config, camera: Camera, n_streams: int, chunk: int = 8):
+    def __init__(
+        self,
+        cfg: Config,
+        camera: Camera,
+        n_streams: int,
+        chunk: int = 8,
+        kf_cadence: int = 0,
+    ):
         self.cfg = cfg
         self.camera = camera
         self.S = n_streams
+        if kf_cadence <= 0:
+            kf_cadence = cfg.tracking.kf_max_interval or 4
+        if chunk % kf_cadence != 0:
+            chunk = max(kf_cadence, (chunk // kf_cadence) * kf_cadence)
         self.chunk = chunk
+        self.kf_cadence = kf_cadence
         self.state = None
 
         boot = frontend.make_bootstrap(camera, cfg)
         self._boot = jax.jit(jax.vmap(boot))
 
+        self._chunk_step = frontend.make_cadenced_chunk_step(
+            camera, cfg, chunk, kf_cadence, n_streams=n_streams
+        )
+
+        # per-frame dynamic-rule step (parity with the reference policy;
+        # slow under vmap — both cond branches execute)
         def step_one(st, l, r):
             return frontend.step_body(
                 st, l.astype(jnp.float32), r.astype(jnp.float32), camera, cfg
             )
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def run_chunk(state, lefts_u8, rights_u8):
-            # lefts_u8/rights_u8: (K, S, H, W) — frame-major so scan slices
-            # contiguously per step.
-            def body(st, lr):
-                l, r = lr
-                return jax.vmap(step_one)(st, l, r), None
-
-            state, _ = jax.lax.scan(body, state, (lefts_u8, rights_u8))
-            return state
-
-        self._chunk_step = run_chunk
 
         @partial(jax.jit, donate_argnums=(0,))
         def step(state, lefts, rights):
@@ -75,15 +90,29 @@ class BatchedStereoVO:
 
     # -- driving --------------------------------------------------------
 
+    def _check_shape(self, arr, name, frame_major: bool):
+        H, W = self.cfg.image_height, self.cfg.image_width
+        want = (self.chunk, self.S, H, W) if frame_major else (self.S, H, W)
+        if tuple(arr.shape) != want:
+            raise ValueError(
+                f"{name}: expected shape {want} "
+                f"({'(K,S,H,W) frame-major' if frame_major else '(S,H,W)'}), "
+                f"got {tuple(arr.shape)}"
+            )
+
     def start(self, lefts: np.ndarray, rights: np.ndarray, seed: int = 0):
         """lefts/rights: (S, H, W) first frame of each stream."""
+        self._check_shape(lefts, "lefts", False)
+        self._check_shape(rights, "rights", False)
         seeds = jnp.arange(self.S, dtype=jnp.uint32) + jnp.uint32(seed)
         self.state = self._boot(
             jnp.asarray(lefts, jnp.float32), jnp.asarray(rights, jnp.float32), seeds
         )
 
     def process(self, lefts: np.ndarray, rights: np.ndarray):
-        """One frame for every stream: (S, H, W)."""
+        """One frame for every stream: (S, H, W). Dynamic keyframe rule."""
+        self._check_shape(lefts, "lefts", False)
+        self._check_shape(rights, "rights", False)
         self.state = self._step(
             self.state,
             jnp.asarray(lefts, jnp.float32),
@@ -91,8 +120,11 @@ class BatchedStereoVO:
         )
 
     def process_chunk(self, lefts_u8, rights_u8):
-        """A chunk of frames for every stream: (K, S, H, W) uint8 arrays
-        (device-resident or host; uint8 keeps host->device traffic 4x down)."""
+        """A chunk of frames for every stream: (chunk, S, H, W) uint8 arrays
+        (device-resident or host; uint8 keeps host->device traffic 4x down).
+        Keyframes on the static cadence (see class docstring)."""
+        self._check_shape(lefts_u8, "lefts_u8", True)
+        self._check_shape(rights_u8, "rights_u8", True)
         self.state = self._chunk_step(
             self.state, jnp.asarray(lefts_u8), jnp.asarray(rights_u8)
         )

@@ -4,9 +4,10 @@ The VO frame loop is latency-bound (SURVEY.md §7 hard-part #4); the
 throughput-parallel escape valve is running many sequences at once — e.g.
 the full KITTI 00-10 evaluation as 11 streams over a pod slice. Each device
 owns one stream's complete state (features, map, observation ring); a psum
-across the mesh aggregates fleet health metrics. No cross-stream data is
-exchanged, so scaling is embarrassingly parallel and the collective is one
-scalar per step.
+across the mesh aggregates fleet health metrics (per-step tracked-feature /
+inlier-ratio / map-size totals, exposed as `fleet_health` after each
+`process` call). No cross-stream data is exchanged, so scaling is
+embarrassingly parallel and the collective is one small vector per step.
 
 All streams share one static Config (shapes) and one camera; KITTI's
 per-sequence calibrations differ slightly — resample to a common intrinsic
@@ -54,9 +55,15 @@ class MultiStereoVO:
                 st, l[0].astype(jnp.float32), r[0].astype(jnp.float32),
                 camera, cfg,
             )
-            return jax.tree.map(lambda x: x[None], new)
+            # fleet health: sum this step's metrics row over the mesh — one
+            # small psum per step ([n_tracked, inlier_ratio, n_features,
+            # is_kf, n_map_points] summed across streams; divide by S on the
+            # host for means).
+            health = jax.lax.psum(new.metrics[new.frame_id], AXIS)
+            return jax.tree.map(lambda x: x[None], new), health
 
         self._per_device = per_device
+        self.fleet_health: np.ndarray | None = None
 
     def _sharding(self, tree):
         return jax.tree.map(lambda _: NamedSharding(self.mesh, P(AXIS)), tree)
@@ -74,17 +81,19 @@ class MultiStereoVO:
             self._per_device,
             mesh=self.mesh,
             in_specs=(spec, P(AXIS), P(AXIS)),
-            out_specs=spec,
+            out_specs=(spec, P()),
             check_vma=False,
         )
         self._step = jax.jit(step, donate_argnums=(0,))
         self._img_sharding = NamedSharding(self.mesh, P(AXIS))
 
     def process(self, lefts: np.ndarray, rights: np.ndarray):
-        """(S, H, W) uint8/float frames, one per stream."""
+        """(S, H, W) uint8/float frames, one per stream. Updates
+        `fleet_health` with the psum-aggregated metrics row (summed over
+        streams: [n_tracked, inlier_ratio, n_features, is_kf, n_map_points])."""
         l = jax.device_put(np.asarray(lefts), self._img_sharding)
         r = jax.device_put(np.asarray(rights), self._img_sharding)
-        self.state = self._step(self.state, l, r)
+        self.state, self.fleet_health = self._step(self.state, l, r)
 
     def trajectories(self, n_frames: int) -> np.ndarray:
         """(S, n_frames, 4, 4) camera-to-world trajectories."""

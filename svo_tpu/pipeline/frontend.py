@@ -169,21 +169,46 @@ def _replenish(
 # --------------------------------------------------------------------------
 
 def step_body(
-    state: VoState, left: jnp.ndarray, right: jnp.ndarray, camera: Camera, cfg: Config
+    state: VoState,
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    camera: Camera,
+    cfg: Config,
+    kf_mode: str = "dynamic",
 ) -> VoState:
-    """One full frame step (pure, un-jitted): track -> PnP -> cond replenish."""
+    """One full frame step (pure, un-jitted): track -> PnP -> replenish.
+
+    kf_mode selects the keyframe policy STATICALLY (trace-time):
+    - "dynamic": the reference's data-dependent rule (frame 0, or previous
+      frame not a KF with too few features — src/tracking.cpp:69-71) plus the
+      eager max-interval trigger, as a lax.cond on device. Under vmap the
+      cond lowers to both-branches+select, so every stream pays the full
+      replenish (dense detect + stereo KLT + triangulation) every frame —
+      which is why the throughput paths use the static modes instead.
+    - "never": track-only step; the replenish code is not even traced.
+    - "always": unconditional replenish (a statically scheduled keyframe).
+
+    The cadenced chunk step (make_cadenced_chunk_step) composes "always" and
+    "never" steps on a fixed keyframe cadence, turning the data-dependent
+    branch into program structure — the TPU-native answer to a conditional
+    pipeline stage.
+    """
+    assert kf_mode in ("dynamic", "never", "always")
     fid = state.frame_id + 1
 
     # keyframe policy (reference: src/tracking.cpp:69-71) — evaluated on
     # the PREVIOUS frame's state, exactly like nextFrame() does — plus an
     # eager max-interval trigger (see TrackingParams.kf_max_interval).
-    cnt_prev = state.features.count()
-    is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
-    if cfg.tracking.kf_max_interval > 0:
-        is_kf = is_kf | (
-            (~state.prev_is_kf)
-            & (fid - state.last_kf_id >= cfg.tracking.kf_max_interval)
-        )
+    if kf_mode == "dynamic":
+        cnt_prev = state.features.count()
+        is_kf = (~state.prev_is_kf) & (cnt_prev < cfg.tracking.features_to_track)
+        if cfg.tracking.kf_max_interval > 0:
+            is_kf = is_kf | (
+                (~state.prev_is_kf)
+                & (fid - state.last_kf_id >= cfg.tracking.kf_max_interval)
+            )
+    else:
+        is_kf = jnp.asarray(kf_mode == "always", dtype=bool)
     last_kf_id = jnp.where(is_kf, fid, state.last_kf_id)
 
     pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
@@ -299,11 +324,15 @@ def step_body(
     mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
 
     # --- keyframe replenishment (reference: src/tracking.cpp:247-255) ---
-    def kf_branch(op):
-        f, m = op
-        return _replenish(f, m, left, pyr_l, right, pose, fid, camera, cfg)
+    if kf_mode == "always":
+        feats, mp = _replenish(feats, mp, left, pyr_l, right, pose, fid, camera, cfg)
+    elif kf_mode == "dynamic":
+        def kf_branch(op):
+            f, m = op
+            return _replenish(f, m, left, pyr_l, right, pose, fid, camera, cfg)
 
-    feats, mp = jax.lax.cond(is_kf, kf_branch, lambda op: op, (feats, mp))
+        feats, mp = jax.lax.cond(is_kf, kf_branch, lambda op: op, (feats, mp))
+    # kf_mode == "never": no replenish code in the trace at all
 
     # --- sliding-window bundle adjustment (the reference's empty back-end
     #     thread, src/map.cpp:84-88, realized) ---
@@ -386,7 +415,12 @@ def make_chunked_step(camera: Camera, cfg: Config, chunk: int):
     """Jitted multi-frame step: lax.scan of the frame step over a chunk of
     `chunk` stereo pairs shipped as uint8 (4x less host->device traffic),
     amortizing per-dispatch latency — the TPU answer to SURVEY.md §7
-    hard-part #4 (sequential frame dependency vs device throughput)."""
+    hard-part #4 (sequential frame dependency vs device throughput).
+
+    Uses the dynamic (data-dependent) keyframe rule; prefer
+    make_cadenced_chunk_step for throughput (the lax.cond in the scan body
+    keeps the replenish program resident even on non-KF frames, and under
+    vmap executes it for every stream every frame)."""
 
     @partial(jax.jit, donate_argnums=(0,))
     def run_chunk(
@@ -402,6 +436,75 @@ def make_chunked_step(camera: Camera, cfg: Config, chunk: int):
             )
 
         state, _ = jax.lax.scan(body, state, (lefts_u8, rights_u8))
+        return state
+
+    return run_chunk
+
+
+def make_cadenced_chunk_step(
+    camera: Camera, cfg: Config, chunk: int, cadence: int, n_streams: int = 0
+):
+    """Jitted multi-frame step with a STATIC keyframe cadence.
+
+    The reference's keyframe rule is data-dependent (src/tracking.cpp:69-71),
+    which on TPU forces a lax.cond around the replenish stage — and under
+    vmap (multi-stream batching) a cond lowers to both-branches + select, so
+    every stream pays dense detection + stereo KLT + triangulation on EVERY
+    frame. This builder instead fixes the keyframe schedule at trace time:
+    each group of `cadence` frames starts with one unconditional-replenish
+    step (kf_mode="always") followed by cadence-1 track-only steps
+    (kf_mode="never" — the replenish code is absent from their program).
+    The data-dependent branch becomes program structure; with the default
+    cadence equal to TrackingParams.kf_max_interval the schedule matches the
+    eager-keyframing behavior the dynamic rule converges to anyway.
+
+    Args:
+        chunk: frames per dispatch; must be a multiple of cadence.
+        cadence: keyframe every `cadence` frames (>= 1).
+        n_streams: 0 for a single stream ((K,H,W) inputs); S > 0 vmaps the
+            step over S independent streams ((K,S,H,W) frame-major inputs).
+    Returns:
+        jitted (state, lefts_u8, rights_u8) -> state with state donated.
+    """
+    assert cadence >= 1
+    assert chunk % cadence == 0, f"chunk {chunk} not a multiple of cadence {cadence}"
+    groups = chunk // cadence
+
+    def kf_step(st, l, r):
+        return step_body(
+            st, l.astype(jnp.float32), r.astype(jnp.float32), camera, cfg,
+            kf_mode="always",
+        )
+
+    def track_step(st, l, r):
+        return step_body(
+            st, l.astype(jnp.float32), r.astype(jnp.float32), camera, cfg,
+            kf_mode="never",
+        )
+
+    if n_streams:
+        kf_step = jax.vmap(kf_step)
+        track_step = jax.vmap(track_step)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def run_chunk(
+        state: VoState, lefts_u8: jnp.ndarray, rights_u8: jnp.ndarray
+    ) -> VoState:
+        rest = lefts_u8.shape[1:]  # (H,W) or (S,H,W)
+        lefts = lefts_u8.reshape((groups, cadence) + rest)
+        rights = rights_u8.reshape((groups, cadence) + rest)
+
+        def group(st, lr):
+            l, r = lr
+            st = kf_step(st, l[0], r[0])
+            if cadence > 1:
+                def tbody(s, xy):
+                    return track_step(s, xy[0], xy[1]), None
+
+                st, _ = jax.lax.scan(tbody, st, (l[1:], r[1:]))
+            return st, None
+
+        state, _ = jax.lax.scan(group, state, (lefts, rights))
         return state
 
     return run_chunk

@@ -40,16 +40,34 @@ class StereoVO:
     """TPU-native stereo visual odometry engine (the Tracking+Map pair of the
     reference, as one functional pipeline)."""
 
-    def __init__(self, config: Config, camera: Camera, seed: int = 0, chunk: int = 0):
+    def __init__(
+        self,
+        config: Config,
+        camera: Camera,
+        seed: int = 0,
+        chunk: int = 0,
+        kf_cadence: int = 0,
+    ):
+        """kf_cadence > 0 switches the chunked path to the static keyframe
+        cadence (frontend.make_cadenced_chunk_step): replenish every
+        `kf_cadence` frames as program structure instead of a data-dependent
+        lax.cond. 0 keeps the reference's dynamic rule in the chunk scan."""
         self.cfg = config
         self.camera = camera
         self.seed = seed
         self.chunk = chunk
+        self.kf_cadence = kf_cadence
         self._step = frontend.make_step(camera, config)
         self._bootstrap = frontend.make_bootstrap(camera, config)
-        self._chunk_step = (
-            frontend.make_chunked_step(camera, config, chunk) if chunk else None
-        )
+        if chunk and kf_cadence:
+            assert chunk % kf_cadence == 0, "chunk must be a multiple of kf_cadence"
+            self._chunk_step = frontend.make_cadenced_chunk_step(
+                camera, config, chunk, kf_cadence
+            )
+        elif chunk:
+            self._chunk_step = frontend.make_chunked_step(camera, config, chunk)
+        else:
+            self._chunk_step = None
         self.state: VoState | None = None
 
     def _prep(self, img: np.ndarray) -> jnp.ndarray:
@@ -161,8 +179,20 @@ class StereoVO:
             self.state = self._chunk_step(
                 self.state, jnp.asarray(lefts), jnp.asarray(rights)
             )
-        # tail frames one by one
-        for _, left, right in rest[n_chunks * K:]:
+        # Tail frames one by one. NOTE: the single-frame step is a separate
+        # program — the FIRST tail frame ever processed triggers one extra
+        # jit compile (subsequent runs reuse it). Size sequences as
+        # 1 + k*chunk to avoid the tail entirely in latency-sensitive runs.
+        tail = rest[n_chunks * K:]
+        if tail and not getattr(self, "_tail_warned", False):
+            self._tail_warned = True
+            import sys
+            print(
+                f"[svo_tpu] run_chunked: {len(tail)} tail frame(s) fall back "
+                f"to the single-frame step (one-time extra compile)",
+                file=sys.stderr,
+            )
+        for _, left, right in tail:
             self.process(left, right)
         jax.block_until_ready(self.state.pose)
         total = time.perf_counter() - t0

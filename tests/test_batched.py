@@ -46,7 +46,9 @@ def test_batched_matches_single():
     assert not np.allclose(trajs[0][:, :3, 3], trajs[2][:, :3, 3], atol=1e-3)
 
 
-def test_batched_chunked_matches_stepwise():
+def test_batched_chunked_matches_single_stream_cadenced():
+    """The batched cadenced chunk step (vmap over streams, static keyframe
+    schedule) must reproduce a single-stream run with the same cadence."""
     S, F = 2, 5  # 1 bootstrap + 4 = one chunk of 4
     shape = (184, 320)
     all_frames, cfg, camera = _make(S, F, shape)
@@ -63,15 +65,33 @@ def test_batched_chunked_matches_stepwise():
     rights = np.stack([np.stack([u8(fr[t][2]) for fr in all_frames])
                        for t in range(1, F)])
 
-    a = BatchedStereoVO(cfg, camera, S, chunk=F - 1)
+    a = BatchedStereoVO(cfg, camera, S, chunk=F - 1, kf_cadence=2)
+    assert a.chunk == F - 1 and a.kf_cadence == 2
     a.start(l0, r0)
     a.process_chunk(lefts, rights)
     traj_chunk = a.trajectories(F)
 
-    b = BatchedStereoVO(cfg, camera, S)
-    b.start(l0, r0)
-    for t in range(F - 1):
-        b.process(lefts[t].astype(np.float32), rights[t].astype(np.float32))
-    traj_step = b.trajectories(F)
+    for s in range(S):
+        vo = StereoVO(cfg, camera, seed=s, chunk=F - 1, kf_cadence=2)
+        res = vo.run_chunked(all_frames[s])
+        np.testing.assert_allclose(traj_chunk[s], res.poses[:F], atol=1e-3)
 
-    np.testing.assert_allclose(traj_chunk, traj_step, atol=1e-4)
+
+def test_batched_shape_validation():
+    S, F = 2, 5
+    shape = (184, 320)
+    all_frames, cfg, camera = _make(S, F, shape)
+    bvo = BatchedStereoVO(cfg, camera, S, chunk=4, kf_cadence=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="expected shape"):
+        bvo.start(np.zeros((S, 100, 100)), np.zeros((S, 100, 100)))
+    bvo.start(
+        np.stack([fr[0][1] for fr in all_frames]),
+        np.stack([fr[0][2] for fr in all_frames]),
+    )
+    with pytest.raises(ValueError, match="frame-major"):
+        # stream-major instead of frame-major
+        bvo.process_chunk(
+            np.zeros((S, 4) + shape, np.uint8), np.zeros((S, 4) + shape, np.uint8)
+        )

@@ -40,6 +40,14 @@ def test_multi_stream_matches_single():
     trajs = multi.trajectories(F)
     assert trajs.shape == (S, F, 4, 4)
 
+    # fleet health: one psum-aggregated metrics row per step
+    # ([n_tracked, inlier_ratio, n_features, is_kf, n_map_points] summed
+    # over the S streams)
+    health = np.asarray(multi.fleet_health)
+    assert health.shape == (5,)
+    assert health[2] > 0  # total live features across the fleet
+    assert 0.0 <= health[1] <= S  # sum of per-stream inlier ratios
+
     # stream 3 must match a standalone run with the same seed
     vo = StereoVO(cfg, camera, seed=3)
     res = vo.run(all_frames[3])

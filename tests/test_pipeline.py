@@ -44,6 +44,26 @@ def test_e2e_fast_detector(small_seq):
     assert res.kf_flags[0]
 
 
+def test_e2e_cadenced_chunked(small_seq):
+    """Static-keyframe-cadence chunked path must hold the same ATE bound as
+    the dynamic-rule path (the throughput mode must not cost accuracy)."""
+    seq = small_seq
+    cfg = Config(use_orb=False, image_height=seq.shape[0], image_width=seq.shape[1])
+    camera = cam_mod.from_intrinsics(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline
+    )
+    vo = StereoVO(cfg, camera, chunk=7, kf_cadence=7)
+    res = vo.run_chunked(list(seq))  # 15 = 1 bootstrap + 2 chunks of 7
+    traveled = np.linalg.norm(
+        np.diff(seq.gt_poses[:, :3, 3], axis=0), axis=1
+    ).sum()
+    ate = ate_rmse(res.poses, seq.gt_poses)
+    assert ate < 0.05 * traveled, f"ATE {ate:.3f}m over {traveled:.1f}m"
+    # keyframes land exactly on the static schedule (bootstrap + 1, 8)
+    assert res.kf_flags[0] and res.kf_flags[1] and res.kf_flags[8]
+    assert not res.kf_flags[2:8].any()
+
+
 def test_umeyama():
     rng = np.random.default_rng(0)
     src = rng.normal(size=(50, 3))
