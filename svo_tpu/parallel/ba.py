@@ -83,19 +83,21 @@ def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     return BAProblem(**{k: jnp.asarray(v) for k, v in out.items()})
 
 
-def solve_ba_distributed(
-    sharded: BAProblem,
+def solve_ba_on_mesh(
+    template: BAProblem,
     K_mat,
     baseline_fx,
     mesh: Mesh,
     iterations: int = 10,
     n_fixed: int = 1,
     **kw,
-) -> BAResult:
-    """Solve a shard_problem()-shaped problem over the mesh.
+):
+    """Build the jitted shard_map BA program for a shard-leading BAProblem.
 
-    sharded arrays have leading axis = mesh size; cameras are replicated
-    content-wise but carried per-shard for a uniform pytree."""
+    Returns fn(sharded_problem) -> BAResult. The problem's leading axis is
+    the shard axis (= mesh size); the caller owns data placement — local
+    single-process (solve_ba_distributed) and multi-process
+    (parallel.multihost.solve_ba_multihost) both drive this same program."""
 
     def local(problem):
         # strip the leading shard axis (size 1 per device under shard_map)
@@ -106,19 +108,38 @@ def solve_ba_distributed(
         )
         return jax.tree.map(lambda x: x[None], res)
 
-    specs_in = jax.tree.map(lambda _: P(AXIS), sharded)
+    specs_in = jax.tree.map(lambda _: P(AXIS), template)
     res_struct = jax.eval_shape(
         lambda p: jax.tree.map(lambda x: x[None], solve_ba(
             jax.tree.map(lambda y: y[0], p), K_mat, baseline_fx,
             iterations=iterations, n_fixed=n_fixed, **kw)),
-        sharded,
+        template,
     )
     specs_out = jax.tree.map(lambda _: P(AXIS), res_struct)
+    return jax.jit(
+        jax.shard_map(local, mesh=mesh, in_specs=(specs_in,), out_specs=specs_out)
+    )
 
+
+def solve_ba_distributed(
+    sharded: BAProblem,
+    K_mat,
+    baseline_fx,
+    mesh: Mesh,
+    iterations: int = 10,
+    n_fixed: int = 1,
+    **kw,
+) -> BAResult:
+    """Solve a shard_problem()-shaped problem over a single-process mesh.
+
+    sharded arrays have leading axis = mesh size; cameras are replicated
+    content-wise but carried per-shard for a uniform pytree."""
+    specs_in = jax.tree.map(lambda _: P(AXIS), sharded)
     sharded = jax.device_put(
         sharded, jax.tree.map(lambda s: NamedSharding(mesh, s), specs_in)
     )
-    fn = jax.jit(
-        jax.shard_map(local, mesh=mesh, in_specs=(specs_in,), out_specs=specs_out)
+    fn = solve_ba_on_mesh(
+        sharded, K_mat, baseline_fx, mesh,
+        iterations=iterations, n_fixed=n_fixed, **kw,
     )
     return fn(sharded)
