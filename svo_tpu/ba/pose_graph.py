@@ -64,16 +64,23 @@ def optimize_pose_graph(
     graph: PoseGraph,
     iterations: int = 10,
     n_fixed: int = 1,
-    damping: float = 1e-6,
+    damping: float = 1e-3,
 ) -> PoseGraphResult:
-    """Gauss-Newton on the pose graph. The first n_fixed nodes are anchored.
+    """Levenberg-Marquardt on the pose graph. The first n_fixed nodes are
+    anchored.
 
     Linearization (right-multiplicative updates T <- T exp(delta), residual
     r = log(Z^-1 Ti^-1 Tj)): r_new ~ r + J_j dj + J_i di with J_j ~ I and
     J_i = -Adj(Tj^-1 Ti) (the right-Jacobian of log is ~I for the small
     residuals of VO graphs). The block-sparse normal system assembles by
     scatter-add into an (N,N,6,6) table and is solved dense (pose graphs in
-    this pipeline are window/boundary sized)."""
+    this pipeline are window/boundary sized).
+
+    Damping is ADAPTIVE (multiplicative on the diagonal, halved on accepted
+    steps, grown 8x on rejections): a chain graph's normal matrix has weak
+    long-lever modes (eigmin ~1e-4) along which a pure GN step overshoots far
+    outside the linearization basin — with a fixed tiny damping the step is
+    rejected every iteration and the graph never moves."""
     N = graph.T_wc.shape[0]
     fixed = (jnp.arange(N) < n_fixed) | (~graph.node_valid)
 
@@ -81,7 +88,8 @@ def optimize_pose_graph(
         r, w = _edge_residuals(T, graph)
         return jnp.sum(w * jnp.sum(r * r, axis=-1))
 
-    def gn_step(T, _):
+    def lm_step(carry, _):
+        T, lam, cost = carry
         r, w = _edge_residuals(T, graph)  # (E,6), (E,)
         Ti = T[graph.edge_i]
         Tj = T[graph.edge_j]
@@ -103,14 +111,15 @@ def optimize_pose_graph(
         b = b.at[graph.edge_i].add(jnp.einsum("eki,ek->ei", wJi, r))
         b = b.at[graph.edge_j].add(w[:, None] * r)
 
-        # gauge + damping, flatten to (6N,6N)
+        # gauge + adaptive damping, flatten to (6N,6N)
         Hf = jnp.where(
             fixed[:, None, None, None] | fixed[None, :, None, None], 0.0, H
         )
         Hf = Hf.transpose(0, 2, 1, 3).reshape(N * 6, N * 6)
         fixed6 = jnp.repeat(fixed, 6)
+        diag = jnp.diag(Hf)
         Hf = Hf + jnp.diag(
-            jnp.where(fixed6, 1.0, damping + jnp.diag(Hf) * 1e-6)
+            jnp.where(fixed6, 1.0, lam * (diag + 1e-8) + 1e-9)
         )
         bf = jnp.where(fixed[:, None], 0.0, b).reshape(N * 6)
         delta = -jnp.linalg.solve(Hf, bf).reshape(N, 6)
@@ -118,12 +127,21 @@ def optimize_pose_graph(
 
         T_new = se3.compose(T, se3.exp(delta))
         T_new = jnp.where(fixed[:, None, None], T, T_new)
-        better = cost_at(T_new) <= cost_at(T)
-        return jnp.where(better, T_new, T), None
+        cost_new = cost_at(T_new)
+        accept = jnp.isfinite(cost_new) & (cost_new <= cost)
+        T = jnp.where(accept, T_new, T)
+        cost = jnp.where(accept, cost_new, cost)
+        lam = jnp.where(accept, lam * 0.5, lam * 8.0)
+        return (T, lam, cost), None
 
     cost0 = cost_at(graph.T_wc)
-    T, _ = jax.lax.scan(gn_step, graph.T_wc, None, length=iterations)
-    return PoseGraphResult(T_wc=T, cost0=cost0, cost=cost_at(T))
+    (T, _, cost), _ = jax.lax.scan(
+        lm_step,
+        (graph.T_wc, jnp.asarray(damping, graph.T_wc.dtype), cost0),
+        None,
+        length=iterations,
+    )
+    return PoseGraphResult(T_wc=T, cost0=cost0, cost=cost)
 
 
 def odometry_graph(
