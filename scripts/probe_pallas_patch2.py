@@ -80,6 +80,9 @@ def extract(corners, a, b, c, d):
         kernel,
         grid_spec=grid_spec,
         out_shape=[out_shape] * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
     )(corners, a, b, c, d)
 
 

@@ -80,11 +80,6 @@ class KltParams:
     max_iters: int = 50
     eps: float = 1e-3         # convergence threshold on |delta| per iteration
     min_eig_threshold: float = 1e-4  # cv2 minEigThreshold default
-    # Early exit when this fraction of features has converged. The per-level
-    # loop runs in lockstep on TPU, so a handful of diverging stragglers
-    # (which the y-gate/RANSAC discard anyway) would otherwise hold every
-    # level at max_iters. 1.0 = exact cv2 semantics.
-    early_exit_frac: float = 0.98
 
 
 @dataclass(frozen=True)
@@ -97,8 +92,8 @@ class RansacParams:
 
     num_hypotheses: int = 128
     reproj_threshold: float = 8.0
-    refine_iters: int = 5     # Gauss-Newton iterations per LO round
-    lo_rounds: int = 3        # refine <-> inlier-reselect alternations (LO-RANSAC)
+    refine_iters: int = 4     # Gauss-Newton iterations per LO round
+    lo_rounds: int = 2        # refine <-> inlier-reselect alternations (LO-RANSAC)
 
 
 @dataclass(frozen=True)
@@ -134,10 +129,15 @@ class BaParams:
 class Capacity:
     """Static capacities (fixed shapes under jit)."""
 
-    max_features: int = 256        # per-frame feature slots
+    # Per-frame feature slots. Every tracker/PnP op scales linearly with
+    # this STATIC capacity (dead slots included), so it is sized to ~2x the
+    # reference's features_to_track=70 target rather than generously: 128
+    # slots keep ~100+ live tracks, and halving from round-1's 256 halves
+    # the whole track-step cost for <2% ATE movement (measured).
+    max_features: int = 128
     max_points: int = 1 << 18      # global map point slots
     max_frames: int = 4608         # trajectory slots
-    max_detections: int = 256      # new detections per keyframe
+    max_detections: int = 192      # new detection candidates per keyframe
 
 
 @dataclass(frozen=True)
@@ -167,12 +167,14 @@ class Config:
     # Iteration budgets below the reference's 30/50 (src/tracking.cpp:98-105,
     # 157-164): LK converges quadratically, cv2's eps exit typically fires
     # within ~5-10 updates, and with eager keyframing (fresh templates) the
-    # extra budget only pays for features the fb-check kills anyway.
+    # extra budget only pays for features the fb-check kills anyway. The
+    # updates are statically unrolled on TPU, so the budget is also the
+    # exact per-level cost.
     stereo_klt: KltParams = field(
-        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=16)
+        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=12)
     )
     temporal_klt: KltParams = field(
-        default_factory=lambda: KltParams(window=21, max_level=3, max_iters=20)
+        default_factory=lambda: KltParams(window=21, max_level=3, max_iters=12)
     )
     ransac: RansacParams = field(default_factory=RansacParams)
 

@@ -93,7 +93,7 @@ def _gn_refine(K, T_cw, Xw, uv, weight, iters: int):
     twist update: T <- exp(delta) @ T."""
     fx, fy = K[0, 0], K[1, 1]
 
-    def body(T, _):
+    def body(T):
         Xc = se3.transform(T, Xw)  # (N,3)
         x, y, z = Xc[..., 0], Xc[..., 1], Xc[..., 2]
         zs = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
@@ -123,9 +123,13 @@ def _gn_refine(K, T_cw, Xw, uv, weight, iters: int):
         delta = -jnp.linalg.solve(H, g)
         # Guard against divergent steps on degenerate systems.
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
-        return se3.compose(se3.exp(delta), T), None
+        return se3.compose(se3.exp(delta), T)
 
-    T, _ = jax.lax.scan(body, T_cw, None, length=iters)
+    # statically unrolled — a lax.scan trip's fixed overhead exceeds the
+    # (N,2,6) update math on TPU
+    T = T_cw
+    for _ in range(iters):
+        T = body(T)
     return T
 
 

@@ -7,18 +7,25 @@ maxLevel 3, 30 iters, eps 1e-3) and temporal prev->curr tracking
 OPTFLOW_LK_GET_MIN_EIGENVALS -> min-eigenvalue rejection).
 
 TPU-first design (no per-pixel pointer chasing):
-- For each pyramid level, a PATCH of side `patch` is extracted ONCE per
-  feature at an integer-aligned position (vmapped dynamic_slice from the
-  level image: contiguous-row gathers, cheap). The patch is large enough to
-  contain the LK window plus an iteration search margin.
-- All LK iterations then run DENSE inside these (N, patch, patch) arrays:
-  fractional sampling is a 4-way bilinear blend of shifted static slices —
-  pure VPU work, no gathers in the inner loop.
+- Per pyramid level, one rectangular PATCH per feature is extracted per
+  image (template + its two gradients at the feature's integer corner;
+  current image at the flow-predicted corner). On TPU this is a PALLAS
+  kernel (ops/klt_pallas.py): the level image sits in VMEM, each feature's
+  rows are vector-loaded from a sublane-aligned corner and lane-rotated to
+  the exact x — XLA's alternative lowers vmapped dynamic_slice to a
+  sequential gather-expander while-loop over features, which round-1
+  profiling showed was ~70% of the whole frame step. On CPU (tests) the same
+  geometry runs as vmapped dynamic_slice.
+- All LK iterations then run DENSE inside these (N, PY, PX) arrays:
+  fractional sampling is a pair of one-hot blend contractions (pure
+  VPU mul-reduce work, no gathers in the inner loop).
 - Template gradients and the 2x2 normal matrix G are computed once per level
   (cv2 does the same); each iteration only recomputes the image difference
-  and the right-hand side b. Iterations are a lax.scan with a convergence
-  mask (eps semantics preserved; converged features simply stop moving —
-  bit-identical result to early exit).
+  and the right-hand side b. Iterations are STATICALLY UNROLLED with a
+  convergence mask (eps semantics preserved; converged features stop
+  moving — same result as cv2's early exit). A lax.while_loop here costs
+  ~0.5-1 ms of fixed overhead per trip on TPU, dwarfing the ~60us of VPU
+  work per update.
 - Features whose window would leave the valid patch area or the image are
   marked lost, matching cv2's border behavior.
 
@@ -30,6 +37,7 @@ G's invertibility check).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -46,61 +54,119 @@ class KltResult(NamedTuple):
     err: jnp.ndarray     # (N,) min eigenvalue (flag semantics) at level 0
 
 
-def _extract_patches(
-    img: jnp.ndarray, centers_int: jnp.ndarray, patch: int
-) -> jnp.ndarray:
-    """Extract (N, patch, patch) windows whose top-left is centers_int -
-    patch//2 (integer, clamped). vmapped dynamic_slice -> row-contiguous
-    gathers, one per feature per level."""
+# Pyramid levels are edge-replicate padded at build time (cv2's
+# buildOpticalFlowPyramid does the same with BORDER_REFLECT_101) so that a
+# feature anywhere in the true image always has a full patch around it —
+# without padding, features near borders of small levels lose their patch
+# slot to the corner clamp and die (~25% of tracks on 240x320 test images).
+_PAD_Y = 24
+_PAD_X = 32
+
+
+def _patch_rows(window: int) -> int:
+    """Full patch row count, rounded up to the sublane tile (8).
+
+    Budget: the window itself + centering (the window top sits ~half below
+    the patch center) + up to 7 rows of sublane alignment shift + 1 bilinear
+    slack + ~8 rows of downward iteration travel. The hard minimum for a
+    usable TEMPLATE is window + 19 (no iteration room); _level_rows shrinks
+    toward that on pyramid levels too short for the full patch."""
+    return ((window + (window - 1) // 2 + 17 + 7) // 8) * 8
+
+
+def _level_rows(window: int, H: int) -> int:
+    """Patch rows for a level of height H: the full budget when it fits,
+    else the largest multiple of 8 that still holds a valid template.
+    Returns 0 if the level is too small (caller skips it, like cv2 clamping
+    maxLevel by window size)."""
+    py = _patch_rows(window)
+    while py > H - 1:
+        py -= 8
+    if py < window + 19:
+        return 0
+    return py
+
+
+_PATCH_COLS = 64  # lane budget per patch; x corners are exact (lane roll)
+
+
+def _use_pallas(H: int, W: int, py: int) -> bool:
+    """Trace-time choice of the extraction engine for one pyramid level."""
+    if os.environ.get("SVO_TPU_NO_PALLAS"):
+        return False
+    if jax.default_backend() in ("cpu", "gpu"):
+        return False
+    # the kernel reads 256 lanes from a 128-aligned corner: needs >= 2 tiles
+    return W > 128 and H >= py
+
+
+def _extract_patches_xla(img, corners, py: int, px: int):
+    """(N,2) i32 (y0, x0) corners -> (N,py,px) windows via dynamic_slice.
+
+    Same geometry as the Pallas kernel (corners pre-clamped/aligned by the
+    caller); used on CPU and for levels too small for the kernel."""
 
     def one(c):
-        y0 = c[1] - patch // 2
-        x0 = c[0] - patch // 2
-        return jax.lax.dynamic_slice(img, (y0, x0), (patch, patch))
+        return jax.lax.dynamic_slice(img, (c[0], c[1]), (py, px))
 
-    return jax.vmap(one)(centers_int)
+    return jax.vmap(one)(corners)
 
 
-def _bilinear_window(
-    patches: jnp.ndarray, offset: jnp.ndarray, window: int
-) -> jnp.ndarray:
-    """Sample (N, window, window) at fractional offset inside (N, P, P)
-    patches. offset is (N, 2) (x, y) of the window's top-left relative to the
-    patch's top-left; must satisfy 0 <= offset <= P - window - 1.
+def _corners(pos, guess, H: int, W: int, py: int, px: int):
+    """Integer patch corners for the template (at pos) and current (at
+    pos+guess) patches. y corners are aligned DOWN to the sublane tile (8) —
+    the Pallas kernel's vector loads need provably aligned row starts; the
+    fractional offsets downstream account for the shift exactly."""
 
-    TPU formulation: bilinear sampling as two batched matmuls with
-    iota-built selection-and-blend matrices, S_y @ patch @ S_x^T, where
-    S_y[n, r, p] = (p == iy+r)(1-fy) + (p == iy+r+1) fy. A vmapped
-    dynamic_slice would lower to a gather PER LK ITERATION — the dominant
-    tracker cost; this runs on the MXU instead."""
-    N, P, _ = patches.shape
+    def corner(p):
+        y0 = jnp.clip(
+            jnp.floor(p[:, 1]).astype(jnp.int32) - py // 2, 0, max(H - py, 0)
+        )
+        y0 = (y0 // 8) * 8
+        x0 = jnp.clip(
+            jnp.floor(p[:, 0]).astype(jnp.int32) - px // 2, 0, max(W - px, 0)
+        )
+        return y0, x0
+
+    ty0, tx0 = corner(pos)
+    cy0, cx0 = corner(pos + guess)
+    return ty0, tx0, cy0, cx0
+
+
+def _blend(patches, offset, window: int):
+    """Sample (N, window, window) at fractional offset inside (N, PY, PX)
+    patches. offset is (N, 2) (x, y) of the window's top-left relative to
+    the patch's top-left; must be within [0, P* - window - 1].
+
+    TPU formulation: bilinear sampling as two one-hot blend contractions,
+    S_y @ patch @ S_x^T, where S_y[n, r, p] = (p == iy+r)(1-fy)
+    + (p == iy+r+1) fy. XLA lowers these to VPU multiply-reduce fusions —
+    a per-feature gather would serialize on TPU."""
+    N, PY, PX = patches.shape
+    w = window
     ox, oy = offset[:, 0], offset[:, 1]
     ix = jnp.floor(ox).astype(jnp.int32)
     iy = jnp.floor(oy).astype(jnp.int32)
-    fx = (ox - ix)[:, None]  # (N,1)
+    fx = (ox - ix)[:, None]
     fy = (oy - iy)[:, None]
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window, P), 0)  # r
-    cols = jax.lax.broadcasted_iota(jnp.int32, (window, P), 1)  # p
-
-    def sel(base, frac):
-        # (N, window, P): blend matrix for one axis
+    def sel(base, frac, P):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (w, P), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (w, P), 1)
         b = base[:, None, None] + rows[None]
         eq0 = (cols[None] == b).astype(patches.dtype)
         eq1 = (cols[None] == b + 1).astype(patches.dtype)
         return eq0 * (1.0 - frac[..., None]) + eq1 * frac[..., None]
 
-    Sy = sel(iy, fy)  # (N, w, P)
-    Sx = sel(ix, fx)  # (N, w, P)
-    tmp = jnp.einsum("nrp,npq->nrq", Sy, patches)     # (N, w, P)
-    return jnp.einsum("nrq,ncq->nrc", tmp, Sx)        # (N, w, w)
+    Sy = sel(iy, fy, PY)  # (N, w, PY)
+    Sx = sel(ix, fx, PX)  # (N, w, PX)
+    tmp = jnp.einsum("nrp,npq->nrq", Sy, patches)  # (N, w, PX)
+    return jnp.einsum("nrq,ncq->nrc", tmp, Sx)     # (N, w, w)
 
 
 @partial(
     jax.jit,
-    static_argnames=(
-        "window", "max_level", "max_iters", "patch_margin", "early_exit_frac"
-    ),
+    static_argnames=("window", "max_level", "max_iters"),
 )
 def _track_impl(
     prev_levels: tuple[jnp.ndarray, ...],
@@ -114,72 +180,77 @@ def _track_impl(
     max_iters: int,
     eps: float,
     min_eig_threshold: float,
-    patch_margin: int,
-    early_exit_frac: float = 1.0,
 ):
     N = pos.shape[0]
     w = window
     half = (w - 1) / 2.0
-    patch = w + 2 * patch_margin + 2  # +2 for the bilinear +1 slack each side
+    px = _PATCH_COLS
     eps2 = eps * eps
     win_area = float(w * w)
+    max_off_x = px - w - 1.0
 
     guess = init / (2.0 ** (max_level + 1))  # will be doubled entering top level
     status = valid
     min_eig_out = jnp.zeros((N,), jnp.float32)
 
     for level in range(max_level, -1, -1):
-        scale = 2.0 ** level
         img_prev = prev_levels[level]
         img_curr = curr_levels[level]
         gx, gy = prev_grad_levels[level]
-        H, W = img_prev.shape
+        H, W = img_prev.shape          # PADDED dims (see build_pyramid)
+        Ht, Wt = H - 2 * _PAD_Y, W - 2 * _PAD_X  # true level dims
 
-        p_lvl = pos / scale  # feature position at this level
+        p_lvl = pos / (2.0 ** level)
         guess = guess * 2.0
 
         # Level too small for the patch (cv2 likewise clamps maxLevel by
         # window size): skip it, keeping the guess-doubling chain intact.
-        if H < patch + 1 or W < patch + 1:
+        py = _level_rows(w, H)
+        if py == 0 or W < px + 1:
             continue
+        max_off_y = py - w - 1.0
 
-        # ---- template patch around the (fixed) prev position ----
-        def clamp_center(c):
-            return jnp.stack(
-                [
-                    jnp.clip(c[:, 0], patch // 2, W - 1 - patch // 2),
-                    jnp.clip(c[:, 1], patch // 2, H - 1 - patch // 2),
-                ],
-                axis=-1,
+        # positions in padded-image coordinates: thanks to the padding a
+        # feature anywhere inside the true image never hits the corner clamp
+        p_pad = p_lvl + jnp.asarray([_PAD_X, _PAD_Y], p_lvl.dtype)
+        ty0, tx0, cy0, cx0 = _corners(p_pad, guess, H, W, py, px)
+
+        if _use_pallas(H, W, py):
+            from svo_tpu.ops.klt_pallas import extract_klt_patches
+
+            t_patch, gx_patch, gy_patch, c_patch = extract_klt_patches(
+                img_prev, gx, gy, img_curr,
+                ty0, tx0, cy0, cx0, status, py=py, px=px,
             )
+        else:
+            tc = jnp.stack([ty0, tx0], -1)
+            cc = jnp.stack([cy0, cx0], -1)
+            t_patch = _extract_patches_xla(img_prev, tc, py, px)
+            gx_patch = _extract_patches_xla(gx, tc, py, px)
+            gy_patch = _extract_patches_xla(gy, tc, py, px)
+            c_patch = _extract_patches_xla(img_curr, cc, py, px)
 
-        ci = clamp_center(jnp.round(p_lvl).astype(jnp.int32))
-        # current-image patch is centered at this level's INITIAL ESTIMATE
-        # (prev position + propagated flow guess) so large displacements stay
-        # inside the patch; iterations then only refine within the margin.
-        ci_c = clamp_center(jnp.round(p_lvl + guess).astype(jnp.int32))
-
-        t_patch = _extract_patches(img_prev, ci, patch)
-        gx_patch = _extract_patches(gx, ci, patch)
-        gy_patch = _extract_patches(gy, ci, patch)
-        c_patch = _extract_patches(img_curr, ci_c, patch)
-
-        # offset of the template window's top-left inside the patch
-        base = ci.astype(jnp.float32) - patch // 2   # template patch top-left
-        c_base = ci_c.astype(jnp.float32) - patch // 2  # current patch top-left
-        t_off = p_lvl - half - base  # (N,2) fractional
-        max_off = patch - w - 1.0
+        # fractional window offsets inside the patches
+        t_base = jnp.stack([tx0, ty0], -1).astype(jnp.float32)
+        c_base = jnp.stack([cx0, cy0], -1).astype(jnp.float32)
+        t_off = p_pad - half - t_base  # (N,2) (x, y)
         t_in = (
             (t_off[:, 0] >= 0.0)
-            & (t_off[:, 0] <= max_off)
+            & (t_off[:, 0] <= max_off_x)
             & (t_off[:, 1] >= 0.0)
-            & (t_off[:, 1] <= max_off)
+            & (t_off[:, 1] <= max_off_y)
         )
-        t_off_cl = jnp.clip(t_off, 0.0, max_off)
+        t_off_cl = jnp.stack(
+            [
+                jnp.clip(t_off[:, 0], 0.0, max_off_x),
+                jnp.clip(t_off[:, 1], 0.0, max_off_y),
+            ],
+            axis=-1,
+        )
 
-        T = _bilinear_window(t_patch, t_off_cl, w)  # (N,w,w) template
-        Tx = _bilinear_window(gx_patch, t_off_cl, w)
-        Ty = _bilinear_window(gy_patch, t_off_cl, w)
+        T = _blend(t_patch, t_off_cl, w)   # (N,w,w) template
+        Tx = _blend(gx_patch, t_off_cl, w)
+        Ty = _blend(gy_patch, t_off_cl, w)
 
         # 2x2 normal matrix (computed once per level, like cv2)
         a11 = jnp.sum(Tx * Tx, axis=(1, 2))
@@ -199,25 +270,29 @@ def _track_impl(
         i12 = -a12 * inv_det
         i22 = a11 * inv_det
 
-        # ---- iterate: current window at p_lvl + d ----
-        # while_loop with an all-converged exit. TPU while_loops carry
-        # substantial fixed per-iteration overhead (~0.5-1 ms measured), far
-        # exceeding the ~50us of actual VPU work per LK update, so UNROLL
-        # LK updates inside each loop iteration and check the global
-        # convergence predicate only between groups. cv2's per-feature eps
-        # exit typically fires within ~5-10 updates.
-        UNROLL = 5
-
-        def one_update(d, conv):
-            c_off = p_lvl + d - half - c_base
+        # ---- iterate: current window at p_lvl + d. STATICALLY UNROLLED on
+        # TPU (a loop trip's fixed overhead exceeds the update cost ~10x
+        # there); a fori_loop on CPU where trip overhead is negligible and
+        # unrolling only bloats compile time. Identical numerics either way:
+        # converged features are frozen by the mask, matching cv2's
+        # per-feature eps exit bit-for-bit. ----
+        def lk_update(carry):
+            d, conv = carry
+            c_off = p_pad + d - half - c_base
             in_patch = (
                 (c_off[:, 0] >= 0.0)
-                & (c_off[:, 0] <= max_off)
+                & (c_off[:, 0] <= max_off_x)
                 & (c_off[:, 1] >= 0.0)
-                & (c_off[:, 1] <= max_off)
+                & (c_off[:, 1] <= max_off_y)
             )
-            c_off_cl = jnp.clip(c_off, 0.0, max_off)
-            Iw = _bilinear_window(c_patch, c_off_cl, w)
+            c_off_cl = jnp.stack(
+                [
+                    jnp.clip(c_off[:, 0], 0.0, max_off_x),
+                    jnp.clip(c_off[:, 1], 0.0, max_off_y),
+                ],
+                axis=-1,
+            )
+            Iw = _blend(c_patch, c_off_cl, w)
             diff = Iw - T
             b1 = jnp.sum(diff * Tx, axis=(1, 2))
             b2 = jnp.sum(diff * Ty, axis=(1, 2))
@@ -229,49 +304,39 @@ def _track_impl(
             conv = conv | (du * du + dv * dv < eps2) | (~in_patch)
             return d, conv
 
-        # stragglers allowed to remain unconverged at exit (they keep their
-        # current displacement, exactly like hitting cv2's max_iters)
-        allowed = int(round((1.0 - early_exit_frac) * N))
-
-        def cond_fn(carry):
-            i, d, conv = carry
-            n_active = jnp.sum((~(conv | (~status))).astype(jnp.int32))
-            return (i < max_iters) & (n_active > allowed)
-
-        def body_fn(carry):
-            i, d, conv = carry
-            for _ in range(UNROLL):
-                d, conv = one_update(d, conv)
-            return (i + UNROLL, d, conv)
-
-        d0 = guess
-        conv0 = jnp.zeros((N,), bool)
-        _, d_final, _ = jax.lax.while_loop(
-            cond_fn, body_fn, (jnp.zeros((), jnp.int32), d0, conv0)
-        )
+        carry = (guess, jnp.zeros((N,), bool))
+        if jax.default_backend() == "cpu":
+            carry = jax.lax.fori_loop(
+                0, max_iters, lambda _, c: lk_update(c), carry
+            )
+        else:
+            for _ in range(max_iters):
+                carry = lk_update(carry)
+        d, _ = carry
 
         # lost if final window is outside patch (~left the search region) or
-        # outside the image at this level
-        final_pt = p_lvl + d_final
+        # outside the TRUE image at this level
+        final_pt = p_lvl + d
         inside_img = (
             (final_pt[:, 0] >= 0)
-            & (final_pt[:, 0] < W)
+            & (final_pt[:, 0] < Wt)
             & (final_pt[:, 1] >= 0)
-            & (final_pt[:, 1] < H)
+            & (final_pt[:, 1] < Ht)
         )
-        c_off_f = final_pt - half - c_base
+        c_off_f = p_pad + d - half - c_base
         inside_patch = (
             (c_off_f[:, 0] >= -1.0)
-            & (c_off_f[:, 0] <= max_off + 1.0)
+            & (c_off_f[:, 0] <= max_off_x + 1.0)
             & (c_off_f[:, 1] >= -1.0)
-            & (c_off_f[:, 1] <= max_off + 1.0)
+            & (c_off_f[:, 1] <= max_off_y + 1.0)
         )
         status = status & inside_img & inside_patch
-        guess = d_final
+        guess = d
 
     new_pos = pos + guess
     # final position must lie inside the level-0 image (cv2 kills these)
-    H0, W0 = prev_levels[0].shape
+    H0 = prev_levels[0].shape[0] - 2 * _PAD_Y
+    W0 = prev_levels[0].shape[1] - 2 * _PAD_X
     inside0 = (
         (new_pos[:, 0] >= 0)
         & (new_pos[:, 0] <= W0 - 1)
@@ -290,6 +355,10 @@ class KltTracker:
     @staticmethod
     def build_pyramid(img: jnp.ndarray, max_level: int):
         levels = klt_pyramid(img, max_level)
+        levels = [
+            jnp.pad(l, ((_PAD_Y, _PAD_Y), (_PAD_X, _PAD_X)), mode="edge")
+            for l in levels
+        ]
         grads = [scharr_gradients(l) for l in levels]
         return tuple(levels), tuple(grads)
 
@@ -301,7 +370,6 @@ class KltTracker:
         valid: jnp.ndarray,
         params: KltParams,
         init_flow: jnp.ndarray | None = None,
-        patch_margin: int = 8,
     ) -> KltResult:
         """Track features from prev to curr.
 
@@ -329,6 +397,4 @@ class KltTracker:
             max_iters=params.max_iters,
             eps=params.eps,
             min_eig_threshold=params.min_eig_threshold,
-            patch_margin=patch_margin,
-            early_exit_frac=getattr(params, "early_exit_frac", 1.0),
         )

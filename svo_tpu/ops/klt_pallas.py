@@ -1,0 +1,138 @@
+"""Pallas TPU kernel: per-feature patch extraction for the KLT tracker.
+
+Round-1 profiling showed XLA lowering the tracker's vmapped dynamic_slice
+patch gathers to a sequential while-loop over features (gather expander) —
+~70% of the whole frame step (~1.1M dynamic-slice ops per 12-frame chunk).
+This kernel replaces it: the level image is VMEM-resident (one block per
+grid step, revisited across the feature dimension so it is fetched once per
+stream), each feature's patch rows are vector-loaded from a sublane-aligned
+corner and lane-rotated (pltpu.roll) to the exact x position.
+
+Alignment contract (Mosaic requires statically provable alignment for VMEM
+vector loads):
+- row starts must be multiples of 8 — the caller pre-aligns y corners DOWN
+  to the sublane tile and absorbs the shift in its fractional offsets;
+- lane starts must be multiples of 128 — the kernel reads a 256-lane span
+  from the aligned corner (clamped so it stays inside the image's physical
+  lane tiles) and rolls by the remainder, so x corners are EXACT.
+
+Invalid features are skipped (their patches are zeroed), saving the load
+work for the typically ~40% dead slots of the fixed feature table.
+
+vmap composes: batching pallas_call prepends a grid dimension, which is how
+parallel/batched.py runs S streams through this kernel in one launch
+(validated: scripts/probe_pallas_patch3.py).
+
+Reference anchor: this is the data-movement half of cv::calcOpticalFlowPyrLK
+(reference src/tracking.cpp:98-105, 157-164); the math half lives in
+ops/klt.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BF = 32  # features per grid step
+
+
+def _kernel(corner_ref, prev_ref, gx_ref, gy_ref, curr_ref,
+            t_out, gx_out, gy_out, c_out, *, bf, py, px, wt):
+    blk = pl.program_id(0)
+    x0a_max = wt - 256
+
+    def body(k, _):
+        f = (blk * bf + k) * 5
+        ty = corner_ref[f]
+        tx = corner_ref[f + 1]
+        cy = corner_ref[f + 2]
+        cx = corner_ref[f + 3]
+        live = corner_ref[f + 4]
+
+        @pl.when(live > 0)
+        def _():
+            for y0, x0, src, dst in (
+                (ty, tx, prev_ref, t_out),
+                (ty, tx, gx_ref, gx_out),
+                (ty, tx, gy_ref, gy_out),
+                (cy, cx, curr_ref, c_out),
+            ):
+                y0a = pl.multiple_of((y0 // 8) * 8, 8)
+                x0a = pl.multiple_of(
+                    jnp.minimum((x0 // 128) * 128, x0a_max), 128
+                )
+                span = src[pl.ds(y0a, py), pl.ds(x0a, 256)]
+                rolled = pltpu.roll(span, -(x0 - x0a), 1)
+                dst[k] = rolled[:, :px]
+
+        @pl.when(live <= 0)
+        def _():
+            for dst in (t_out, gx_out, gy_out, c_out):
+                dst[k] = jnp.zeros((py, px), dst.dtype)
+
+        return 0
+
+    jax.lax.fori_loop(0, bf, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("py", "px"))
+def extract_klt_patches(
+    prev: jnp.ndarray,
+    gx: jnp.ndarray,
+    gy: jnp.ndarray,
+    curr: jnp.ndarray,
+    ty0: jnp.ndarray,
+    tx0: jnp.ndarray,
+    cy0: jnp.ndarray,
+    cx0: jnp.ndarray,
+    valid: jnp.ndarray,
+    py: int,
+    px: int,
+):
+    """Extract (N,py,px) patches: prev/gx/gy at (ty0,tx0), curr at (cy0,cx0).
+
+    Corners must be pre-clamped to [0, dim - {py,px}] with ty0/cy0 multiples
+    of 8 (see ops/klt.py:_corners). Requires W > 128 and H >= py — the
+    caller falls back to the XLA path otherwise."""
+    H, W = prev.shape
+    N = ty0.shape[0]
+    n_pad = (-N) % _BF
+    wt = ((W + 127) // 128) * 128
+    assert wt >= 256, f"image too narrow for the kernel: W={W}"
+
+    corners = jnp.stack(
+        [ty0, tx0, cy0, cx0, valid.astype(jnp.int32)], axis=-1
+    )
+    if n_pad:
+        corners = jnp.pad(corners, ((0, n_pad), (0, 0)))
+    n_total = N + n_pad
+
+    img_spec = pl.BlockSpec((H, W), lambda f, *_: (0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (_BF, py, px), lambda f, *_: (f, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_total, py, px), prev.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_total // _BF,),
+        in_specs=[img_spec] * 4,
+        out_specs=[out_spec] * 4,
+    )
+    outs = pl.pallas_call(
+        functools.partial(_kernel, bf=_BF, py=py, px=px, wt=wt),
+        grid_spec=grid_spec,
+        out_shape=[out_shape] * 4,
+        # actual demand: 4 level images double-buffered (~20 MB at level 0)
+        # + 4 (BF,py,px) output blocks (~6 MB); a loose limit risks colliding
+        # with XLA-pinned VMEM buffers inside large fused programs
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+    )(corners.reshape(-1), prev, gx, gy, curr)
+    if n_pad:
+        outs = [o[:N] for o in outs]
+    return tuple(outs)

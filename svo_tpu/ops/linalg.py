@@ -58,15 +58,15 @@ def polar3x3(M: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     sign = jnp.where(det < 0, -1.0, 1.0)
     X = M * sign[..., None, None]
 
-    def body(X, _):
+    # statically unrolled: each update is a handful of fused VPU ops, while
+    # a lax.scan trip carries fixed loop overhead that dwarfs them on TPU
+    for _ in range(iters):
         Xinv_T = jnp.swapaxes(inv3x3(X), -1, -2)
         # scale for fast convergence: s = sqrt(|X^-1| / |X|) (Frobenius)
         nx = jnp.sqrt(jnp.sum(X * X, axis=(-1, -2)) + 1e-20)
         ni = jnp.sqrt(jnp.sum(Xinv_T * Xinv_T, axis=(-1, -2)) + 1e-20)
         s = jnp.sqrt(ni / nx)[..., None, None]
-        return 0.5 * (X * s + Xinv_T / s), None
-
-    X, _ = jax.lax.scan(body, X, None, length=iters)
+        X = 0.5 * (X * s + Xinv_T / s)
     return X
 
 
@@ -85,14 +85,11 @@ def smallest_eigvec_psd(
     B = A + (shift * tr + 1e-12) * jnp.eye(n, dtype=A.dtype)
     Binv = jnp.linalg.inv(B)
 
-    x0 = jnp.ones(A.shape[:-1], A.dtype)
-
-    def body(x, _):
+    x = jnp.ones(A.shape[:-1], A.dtype)
+    # unrolled inverse iteration (see polar3x3 note on scan overhead)
+    for _ in range(iters):
         y = (Binv @ x[..., None])[..., 0]
-        y = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-20)
-        return y, None
-
-    x, _ = jax.lax.scan(body, x0, None, length=iters)
+        x = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-20)
     return x
 
 

@@ -51,6 +51,9 @@ class RefineResult(NamedTuple):
     ba_cost: jnp.ndarray     # (B,) per-block final robust cost
     pg_cost0: jnp.ndarray    # pose-graph cost before consensus
     pg_cost: jnp.ndarray     # pose-graph cost after consensus
+    accepted: jnp.ndarray    # bool — span-wide cost gate verdict
+    span_cost0: jnp.ndarray  # span reprojection cost before refinement
+    span_cost: jnp.ndarray   # span reprojection cost of the refined state
 
 
 def block_span(n_blocks: int, cams_per_block: int) -> int:
@@ -135,9 +138,14 @@ def refine_global(
         )
     )(problems)
 
-    return _consensus_and_writeback(
+    cand_mp, cand_poses, frame_lo, pg = _consensus_and_writeback(
         mp, poses_wc, frame_hi, problems, mappings, res,
         n_blocks, cams_per_block, pg_iterations,
+    )
+    return _gated_result(
+        mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
+        K_mat, baseline_fx, block_span(n_blocks, cams_per_block),
+        n_points * n_blocks, n_obs * n_blocks, huber_delta, reject_threshold,
     )
 
 
@@ -195,10 +203,32 @@ def refine_global_sharded(
         )
     )(problems_sh)
 
-    return _consensus_and_writeback(
+    cand_mp, cand_poses, frame_lo, pg = _consensus_and_writeback(
         mp, poses_wc, frame_hi, problems, mappings, res,
         n_blocks, C, pg_iterations,
     )
+    return _gated_result(
+        mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
+        K_mat, baseline_fx, block_span(n_blocks, C),
+        kw["n_points"] * n_blocks, kw["n_obs"] * n_blocks,
+        huber_delta, reject_threshold,
+    )
+
+
+def _span_cost(
+    mp, poses_wc, frame_hi, K_mat, baseline_fx, span, n_points, n_obs,
+    huber_delta, reject_threshold,
+):
+    """Robust reprojection cost of (poses, points) over the whole refined
+    span's observations — the BA objective itself, used as the acceptance
+    metric for a refinement sweep."""
+    prob, _ = extract_window(
+        mp, poses_wc, frame_hi, n_cams=span, n_points=n_points, n_obs=n_obs
+    )
+    return solve_ba(
+        prob, K_mat, baseline_fx, iterations=0,
+        huber_delta=huber_delta, reject_threshold=reject_threshold,
+    ).cost0
 
 
 @partial(jax.jit, static_argnames=("n_blocks", "cams_per_block", "pg_iterations"))
@@ -243,6 +273,24 @@ def _consensus_and_writeback(
         & problems.cam_valid[bb, ii + 1]
         & clean
     ).astype(jnp.float32)
+
+    # Odometry-prior edges from the ORIGINAL trajectory (down-weighted):
+    # where the block evidence is strong it dominates (1-2 unit-weight edges
+    # per pair), where it is weak the prior keeps the span near the
+    # front-end solution instead of letting unobservable gauge modes wander.
+    ks = jnp.arange(n_nodes - 1, dtype=jnp.int32)
+    prior_i = ks
+    prior_j = ks + 1
+    node_frames = frame_lo + jnp.arange(n_nodes)
+    prior_T = se3.compose(
+        se3.inverse(poses_wc[jnp.clip(node_frames[:-1], 0)]),
+        poses_wc[jnp.clip(node_frames[1:], 0)],
+    )
+    prior_w = 0.5 * (node_frames[:-1] >= 0).astype(jnp.float32)
+    edge_i = jnp.concatenate([edge_i, prior_i])
+    edge_j = jnp.concatenate([edge_j, prior_j])
+    edge_T = jnp.concatenate([edge_T, prior_T])
+    edge_w = jnp.concatenate([edge_w, prior_w])
 
     # --- initialize nodes by CHAINING the clean edges from the gauge node.
     # LM alone cannot travel from a heavily drifted init to the corrected
@@ -292,12 +340,38 @@ def _consensus_and_writeback(
     )  # (B,P); later blocks win collisions on shared points
     points = mp.points.at[pid.reshape(-1)].set(pts_corr.reshape(-1, 3), mode="drop")
 
+    return mp._replace(points=points), poses_out, frame_lo, pg
+
+
+def _gated_result(
+    mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
+    K_mat, baseline_fx, span, n_points, n_obs, huber_delta, reject_threshold,
+):
+    """Accept the refined (map, poses) only if the span-wide robust
+    reprojection cost does not increase — refinement is 'improvement or
+    parity', never regression (the BA objective is the arbiter; on a
+    trajectory the front-end already nailed, block re-solves + chaining can
+    only add noise, and this gate keeps the original)."""
+    cost0 = _span_cost(
+        mp, poses_wc, frame_hi, K_mat, baseline_fx,
+        span, n_points, n_obs, huber_delta, reject_threshold,
+    )
+    cost1 = _span_cost(
+        cand_mp, cand_poses, frame_hi, K_mat, baseline_fx,
+        span, n_points, n_obs, huber_delta, reject_threshold,
+    )
+    accept = jnp.isfinite(cost1) & (cost1 <= cost0)
+    out_points = jnp.where(accept, cand_mp.points, mp.points)
+    out_poses = jnp.where(accept, cand_poses, poses_wc)
     return RefineResult(
-        map=mp._replace(points=points),
-        poses=poses_out,
+        map=mp._replace(points=out_points),
+        poses=out_poses,
         frame_lo=frame_lo,
         ba_cost0=res.cost0,
         ba_cost=res.cost,
         pg_cost0=pg.cost0,
         pg_cost=pg.cost,
+        accepted=accept,
+        span_cost0=cost0,
+        span_cost=cost1,
     )

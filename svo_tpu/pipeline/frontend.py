@@ -265,7 +265,7 @@ def step_body(
         # would otherwise form a self-confirming consensus with the pose).
         # The backward pass starts from an exact seed, so level 0 with a
         # small iteration budget suffices (~1/8 the forward cost).
-        fb_params = dataclasses.replace(cfg.temporal_klt, max_level=0, max_iters=10)
+        fb_params = dataclasses.replace(cfg.temporal_klt, max_level=0, max_iters=8)
         bres = KltTracker.track(
             pyr_l, state.prev_pyramid, tres.pos, t_status,
             fb_params, init_flow=state.features.pos - tres.pos,

@@ -50,7 +50,7 @@ def test_klt_translation(rng, shift):
     N = len(pts)
     assert N > 10
 
-    params = KltParams(window=21, max_level=3, max_iters=50)
+    params = KltParams(window=21, max_level=3, max_iters=16)
     pyr0 = KltTracker.build_pyramid(jnp.asarray(img0), params.max_level)
     pyr1 = KltTracker.build_pyramid(jnp.asarray(img1), params.max_level)
     res = KltTracker.track(pyr0, pyr1, jnp.asarray(pts), jnp.ones(N, bool), params)
@@ -71,7 +71,7 @@ def test_klt_matches_cv2(rng):
     pts = good_points(img0)
     N = len(pts)
 
-    params = KltParams(window=21, max_level=3, max_iters=50)
+    params = KltParams(window=21, max_level=3, max_iters=16)
     pyr0 = KltTracker.build_pyramid(jnp.asarray(img0), params.max_level)
     pyr1 = KltTracker.build_pyramid(jnp.asarray(img1), params.max_level)
     res = KltTracker.track(pyr0, pyr1, jnp.asarray(pts), jnp.ones(N, bool), params)
@@ -96,7 +96,7 @@ def test_klt_loses_borders(rng):
     img1 = shift_image(img0, 40.0, 0.0)
     # points near the right edge exit the image under +40px flow
     pts = np.array([[300.0, 100.0], [310.0, 150.0], [160.0, 120.0]], np.float32)
-    params = KltParams(window=21, max_level=3, max_iters=50)
+    params = KltParams(window=21, max_level=3, max_iters=16)
     pyr0 = KltTracker.build_pyramid(jnp.asarray(img0), params.max_level)
     pyr1 = KltTracker.build_pyramid(jnp.asarray(img1), params.max_level)
     res = KltTracker.track(pyr0, pyr1, jnp.asarray(pts), jnp.ones(3, bool), params)
@@ -111,7 +111,7 @@ def test_klt_flat_region_rejected(rng):
     img0[:, :100] = textured_image(rng)[:, :100]
     img1 = img0.copy()
     pts = np.array([[250.0, 120.0], [50.0, 120.0]], np.float32)  # flat, textured
-    params = KltParams(window=21, max_level=3, max_iters=50)
+    params = KltParams(window=21, max_level=3, max_iters=16)
     pyr0 = KltTracker.build_pyramid(jnp.asarray(img0), params.max_level)
     pyr1 = KltTracker.build_pyramid(jnp.asarray(img1), params.max_level)
     res = KltTracker.track(pyr0, pyr1, jnp.asarray(pts), jnp.ones(2, bool), params)
@@ -126,7 +126,7 @@ def test_klt_stereo_params(rng):
     img0 = textured_image(rng)
     img1 = shift_image(img0, -7.3, 0.0)
     pts = good_points(img0)
-    params = KltParams(window=11, max_level=3, max_iters=30)
+    params = KltParams(window=11, max_level=3, max_iters=16)
     pyr0 = KltTracker.build_pyramid(jnp.asarray(img0), params.max_level)
     pyr1 = KltTracker.build_pyramid(jnp.asarray(img1), params.max_level)
     res = KltTracker.track(pyr0, pyr1, jnp.asarray(pts), jnp.ones(len(pts), bool), params)
