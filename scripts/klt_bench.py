@@ -60,9 +60,9 @@ p1 = pyr_f(i1)
 bench("pyramid+grads", pyr_f, i0)
 
 for name, params in [
-    ("temporal 21x21/50it", KltParams(window=21, max_level=3, max_iters=50)),
-    ("temporal 21x21/20it", KltParams(window=21, max_level=3, max_iters=20)),
-    ("stereo 11x11/30it", KltParams(window=11, max_level=3, max_iters=30)),
+    ("temporal 21x21/12it", KltParams(window=21, max_level=3, max_iters=12)),
+    ("temporal 21x21/8it", KltParams(window=21, max_level=3, max_iters=8)),
+    ("stereo 11x11/12it", KltParams(window=11, max_level=3, max_iters=12)),
 ]:
     f = jax.jit(lambda a, b, p, v, prm=params: KltTracker.track(a, b, p, v, prm))
     out = bench(f"KLT {name} (256 live feats)", f, p0, p1, pos, valid)

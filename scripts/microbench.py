@@ -55,8 +55,8 @@ uv = jnp.asarray(rng.uniform(0, 300, (N, 2)).astype(np.float32))
 uv_r = uv - 10.0
 key = jax.random.PRNGKey(0)
 cfg = Config(use_orb=False)
-tkl = KltParams(window=21, max_level=3, max_iters=50)
-skl = KltParams(window=11, max_level=3, max_iters=30)
+tkl = KltParams(window=21, max_level=3, max_iters=12)
+skl = KltParams(window=11, max_level=3, max_iters=12)
 
 
 def bench(name, fn, *a, reps=args.reps):

@@ -39,13 +39,21 @@ class PoseGraphResult(NamedTuple):
 
 
 def _edge_residuals(T_wc, graph: PoseGraph):
-    """(E,6) residuals and the (E,) validity weights."""
+    """(E,6) residuals and the (E,) validity weights.
+
+    Non-finite residuals (se3.log blows up near a pi rotation, which a
+    degenerate measurement on a ZERO-WEIGHT edge can legitimately produce)
+    are zeroed with their weight — otherwise `w * r^2` yields 0 * nan = nan
+    and one dead edge poisons the whole graph cost."""
     Ti = T_wc[graph.edge_i]
     Tj = T_wc[graph.edge_j]
     pred = se3.compose(se3.inverse(Ti), Tj)
     err = se3.compose(se3.inverse(graph.edge_T), pred)
     r = se3.log(err)
     w = graph.edge_w * graph.node_valid[graph.edge_i] * graph.node_valid[graph.edge_j]
+    finite = jnp.all(jnp.isfinite(r), axis=-1)
+    w = w * finite.astype(w.dtype)
+    r = jnp.where(finite[:, None], r, 0.0)
     return r, w
 
 

@@ -37,6 +37,10 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 def shard_problem(problem: BAProblem, n_shards: int) -> BAProblem:
     """Repartition a single-device problem into n_shards point blocks.
 
+    HOST-SIDE (NumPy) utility for tests and offline problems — the live
+    pipeline path partitions on device by keyframe block instead
+    (parallel/global_opt.extract_blocks), with no host round trip.
+
     Point slots are assigned to shards round-robin by block (slot // block);
     every observation follows its point. Shapes stay static: each shard gets
     P/n point slots and O/n observation slots (rows beyond a shard's capacity
