@@ -490,21 +490,24 @@ def make_cadenced_chunk_step(
     def run_chunk(
         state: VoState, lefts_u8: jnp.ndarray, rights_u8: jnp.ndarray
     ) -> VoState:
-        rest = lefts_u8.shape[1:]  # (H,W) or (S,H,W)
-        lefts = lefts_u8.reshape((groups, cadence) + rest)
-        rights = rights_u8.reshape((groups, cadence) + rest)
-
-        def group(st, lr):
-            l, r = lr
-            st = kf_step(st, l[0], r[0])
+        # Groups are UNROLLED in Python (there are only chunk/cadence of
+        # them): nesting the group loop as an outer lax.scan around the
+        # track-step scan triggers a TPU runtime fault in combination with
+        # the Pallas patch kernel (each piece alone runs fine), and with
+        # chunk == cadence this shape has no outer loop at all.
+        for g in range(groups):
+            state = kf_step(state, lefts_u8[g * cadence], rights_u8[g * cadence])
             if cadence > 1:
                 def tbody(s, xy):
                     return track_step(s, xy[0], xy[1]), None
 
-                st, _ = jax.lax.scan(tbody, st, (l[1:], r[1:]))
-            return st, None
-
-        state, _ = jax.lax.scan(group, state, (lefts, rights))
+                state, _ = jax.lax.scan(
+                    tbody, state,
+                    (
+                        lefts_u8[g * cadence + 1 : (g + 1) * cadence],
+                        rights_u8[g * cadence + 1 : (g + 1) * cadence],
+                    ),
+                )
         return state
 
     return run_chunk
