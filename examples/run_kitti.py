@@ -31,6 +31,9 @@ parser.add_argument("--end", type=int, default=None)
 parser.add_argument("--ba", action="store_true", help="enable windowed BA")
 parser.add_argument("--fast", action="store_true", help="FAST detector (default ORB)")
 parser.add_argument("--chunk", type=int, default=0, help="frames per device dispatch")
+parser.add_argument("--cadence", type=int, default=0,
+                    help="static keyframe cadence for the chunked path "
+                         "(0 = the reference's dynamic rule)")
 parser.add_argument("--out", default="", help="write estimated trajectory (KITTI format)")
 parser.add_argument("--ply", default="", help="dump map point cloud to PLY")
 parser.add_argument("--metrics-out", default="", help="write per-frame JSONL + summary")
@@ -90,7 +93,7 @@ if native_loader.available():
 else:
     frames = kitti.SequenceReader(cfg.path, cfg.start_frame, cfg.end_frame)
 
-vo = StereoVO(cfg, camera, chunk=args.chunk)
+vo = StereoVO(cfg, camera, chunk=args.chunk, kf_cadence=args.cadence)
 t0 = time.time()
 if args.chunk:
     res = vo.run_chunked(list(frames))

@@ -16,6 +16,9 @@ parser.add_argument("--small", action="store_true", help="use a small image for 
 parser.add_argument("--verbose", action="store_true")
 parser.add_argument("--fast", action="store_true", help="FAST detector instead of ORB")
 parser.add_argument("--ba", action="store_true", help="enable sliding-window bundle adjustment")
+parser.add_argument("--chunk", type=int, default=0, help="frames per device dispatch")
+parser.add_argument("--cadence", type=int, default=0,
+                    help="static keyframe cadence for the chunked path")
 args = parser.parse_args()
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -54,9 +57,14 @@ cfg = Config(
 )
 camera = cam_mod.from_intrinsics(seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline)
 
-vo = StereoVO(cfg, camera)
+chunk = getattr(args, "chunk", 0)
+cadence = getattr(args, "cadence", 0)
+vo = StereoVO(cfg, camera, chunk=chunk, kf_cadence=cadence)
 t0 = time.time()
-res = vo.run(frames, verbose=args.verbose)
+if chunk:
+    res = vo.run_chunked(frames)
+else:
+    res = vo.run(frames, verbose=args.verbose)
 wall = time.time() - t0
 
 ate = ate_rmse(res.poses, seq.gt_poses[: res.n_frames])
