@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from svo_tpu.config import RansacParams
 from svo_tpu.geometry import se3
+from svo_tpu.ops import linalg
 
 
 class PnPResult(NamedTuple):
@@ -120,7 +121,9 @@ def _gn_refine(K, T_cw, Xw, uv, weight, iters: int):
         H = jnp.sum(jnp.swapaxes(J, -1, -2) @ (J * w), axis=0)  # (6,6)
         g = jnp.sum(jnp.swapaxes(J, -1, -2) @ (r[..., None] * w), axis=0)[..., 0]  # (6,)
         H = H + 1e-6 * jnp.eye(6, dtype=H.dtype)
-        delta = -jnp.linalg.solve(H, g)
+        # unrolled Cholesky: jnp.linalg.solve lowers to a serialized LU
+        # custom-call on TPU (see ops/linalg.py)
+        delta = -linalg.cho_solve_unrolled(linalg.cholesky_unrolled(H), g)
         # Guard against divergent steps on degenerate systems.
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros_like(delta))
         return se3.compose(se3.exp(delta), T)

@@ -70,25 +70,70 @@ def polar3x3(M: jnp.ndarray, iters: int = 8) -> jnp.ndarray:
     return X
 
 
+def cholesky_unrolled(B: jnp.ndarray) -> jnp.ndarray:
+    """Batched Cholesky of small PD (..., n, n) matrices, fully unrolled.
+
+    XLA lowers jnp.linalg.inv / cholesky on TPU to an LU/loop custom-call
+    that serializes per batch element (~3 ms per frame step for the PnP
+    hypothesis batch); n<=12 unrolled column steps are a few hundred fused
+    VPU ops instead. No pivoting — callers pass shifted PD matrices."""
+    n = B.shape[-1]
+    L = jnp.zeros_like(B)
+    for j in range(n):
+        # L[j,j] = sqrt(B[j,j] - sum_k<j L[j,k]^2)
+        s = B[..., j, j]
+        if j:
+            s = s - jnp.sum(L[..., j, :j] * L[..., j, :j], axis=-1)
+        djj = jnp.sqrt(jnp.maximum(s, 1e-20))
+        L = L.at[..., j, j].set(djj)
+        if j + 1 < n:
+            r = B[..., j + 1:, j]
+            if j:
+                r = r - jnp.einsum(
+                    "...ik,...k->...i", L[..., j + 1:, :j], L[..., j, :j]
+                )
+            L = L.at[..., j + 1:, j].set(r / djj[..., None])
+    return L
+
+
+def cho_solve_unrolled(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) x = b for small unrolled-Cholesky factors (..., n, n)."""
+    n = L.shape[-1]
+    # forward: L y = b
+    y = jnp.zeros_like(b)
+    for i in range(n):
+        s = b[..., i]
+        if i:
+            s = s - jnp.sum(L[..., i, :i] * y[..., :i], axis=-1)
+        y = y.at[..., i].set(s / L[..., i, i])
+    # backward: L^T x = y
+    x = jnp.zeros_like(b)
+    for i in range(n - 1, -1, -1):
+        s = y[..., i]
+        if i + 1 < n:
+            s = s - jnp.sum(L[..., i + 1:, i] * x[..., i + 1:], axis=-1)
+        x = x.at[..., i].set(s / L[..., i, i])
+    return x
+
+
 def smallest_eigvec_psd(
-    A: jnp.ndarray, shift: float = 1e-6, iters: int = 12
+    A: jnp.ndarray, shift: float = 1e-6, iters: int = 8
 ) -> jnp.ndarray:
     """Eigenvector of the smallest eigenvalue of a symmetric PSD (..., n, n)
     matrix via inverse iteration: x <- (A + shift*tr(A)/n*I)^-1 x, normalized.
 
-    The matrix is inverted once (Gauss-Jordan on registers for tiny n via
-    jnp.linalg.inv lowers to LU; for n<=12 this is cheap and direct), then
-    the iteration is pure matvecs. Replaces eigh on the RANSAC/DLT hot path.
-    """
+    The shifted matrix is factored once with the unrolled Cholesky (pure
+    fused VPU work — jnp.linalg.inv would lower to a serialized per-batch
+    LU custom-call on TPU); each iteration is then two unrolled triangular
+    solves. Replaces eigh on the RANSAC/DLT hot path."""
     n = A.shape[-1]
     tr = jnp.trace(A, axis1=-2, axis2=-1)[..., None, None] / n
     B = A + (shift * tr + 1e-12) * jnp.eye(n, dtype=A.dtype)
-    Binv = jnp.linalg.inv(B)
+    L = cholesky_unrolled(B)
 
     x = jnp.ones(A.shape[:-1], A.dtype)
-    # unrolled inverse iteration (see polar3x3 note on scan overhead)
     for _ in range(iters):
-        y = (Binv @ x[..., None])[..., 0]
+        y = cho_solve_unrolled(L, x)
         x = y / (jnp.linalg.norm(y, axis=-1, keepdims=True) + 1e-20)
     return x
 
