@@ -135,7 +135,11 @@ class Capacity:
     # slots keep ~100+ live tracks, and halving from round-1's 256 halves
     # the whole track-step cost for <2% ATE movement (measured).
     max_features: int = 128
-    max_points: int = 1 << 18      # global map point slots
+    # Global map point slots. A full KITTI sequence allocates ~50k points at
+    # the default keyframe cadence; the table is also touched by a per-step
+    # layout copy under the chunked scan, so oversizing it costs real
+    # per-frame milliseconds, not just memory.
+    max_points: int = 1 << 17
     max_frames: int = 4608         # trajectory slots
     max_detections: int = 192      # new detection candidates per keyframe
 
