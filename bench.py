@@ -16,11 +16,18 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
   REVERSED stream (catches vmap/cadence bugs a forward-only check would
   miss), reference CPU numbers, and BA solver iterations/s (the back-end
   the reference declared but never built, src/map.cpp:84-88).
+
+Stages are ordered cheapest-compile-first and the current JSON line is
+emitted even on SIGTERM/SIGINT: the remote TPU compiler cannot persist
+executables across processes in this environment, so a cold run pays
+~10 min of compiles and an external timeout must still yield the headline
+numbers measured so far (missing stages are null).
 """
 
 import json
-import multiprocessing as mp
 import os
+import signal
+import subprocess
 import sys
 import time
 
@@ -51,26 +58,45 @@ N_FRAMES = int(os.environ.get("BENCH_FRAMES", str(1 + 8 * CHUNK)))
 SHAPE = (376, 1241)  # KITTI seq 00 image size
 _T0 = time.perf_counter()
 
+RESULT = {
+    "metric": "vo_frames_per_s_per_chip",
+    "value": None,
+    "unit": "frames/s",
+    "vs_baseline": None,
+    "extra": {
+        "streams": STREAMS,
+        "chunk": CHUNK,
+        "kf_cadence": CADENCE,
+        "frames": N_FRAMES,
+        "image": f"{SHAPE[0]}x{SHAPE[1]}",
+        "partial": True,  # cleared when every stage completed
+    },
+}
+_EMITTED = False
+
+
+def _emit(*_args):
+    global _EMITTED
+    if not _EMITTED:
+        _EMITTED = True
+        print(json.dumps(RESULT), flush=True)
+    if _args:  # invoked as a signal handler
+        sys.exit(1)
+
+
+signal.signal(signal.SIGTERM, _emit)
+signal.signal(signal.SIGINT, _emit)
+
 
 def _log(msg):
     print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
           flush=True)
 
 
-def _ref_cpu_worker(args):
-    """One reference-CPU pipeline over the whole sequence (forked child)."""
-    frames, cfg, K, P_left, P_right = args
-    import cv2
-
-    cv2.setNumThreads(1)  # measure process-level throughput, not oversubscription
-    from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
-
-    ref = ReferenceCpuPipeline(cfg, K, P_left, P_right)
-    poses, wall, fps = ref.run(frames)
-    return wall, len(poses)
 
 
 def main():
+    ex = RESULT["extra"]
     _log(f"rendering {N_FRAMES} frames...")
     seq = SyntheticSequence(n_frames=N_FRAMES, shape=SHAPE, fx=718.856)
     frames = list(seq)
@@ -81,19 +107,52 @@ def main():
         seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline
     )
 
-    # --- single-stream (latency) path: warm-up run compiles bootstrap +
-    #     cadenced chunk step on THIS instance; the timed run reuses them ---
-    vo = StereoVO(cfg, camera, chunk=CHUNK, kf_cadence=CADENCE)
-    vo.run_chunked(frames[: CHUNK + 1], preload=True)
-    _log("single-stream warm-up (compile) done")
-    res = vo.run_chunked(frames, preload=True)
-    single_fps = (res.n_frames - 1) / res.total_time_s
-    _log(f"single-stream timed run done: {single_fps:.2f} fps")
-    ate = ate_rmse(res.poses, seq.gt_poses[: res.n_frames])
+    # --- 1. reference CPU baselines (cheap, no TPU compile) ---
+    from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
 
-    # --- multi-stream (throughput) path: S independent streams vmapped on
-    #     one chip. Even streams run the sequence forward, odd streams run it
-    #     reversed (smooth but different motion -> realistic divergence) ---
+    ref = ReferenceCpuPipeline(
+        cfg, np.asarray(camera.K), np.asarray(camera.P_left),
+        np.asarray(camera.P_right)
+    )
+    ref_poses, ref_wall, ref_fps = ref.run(frames)
+    ex["ref_cpu_fps_single"] = round(ref_fps, 2)
+    ex["ref_ate_m"] = round(ate_rmse(ref_poses, seq.gt_poses[: len(ref_poses)]), 4)
+    _log(f"reference CPU single-process run done: {ref_fps:.2f} fps")
+
+    # matched-aggregate: nproc FRESH interpreters (cannot fork after the TPU
+    # client initializes; see scripts/ref_cpu_worker.py), frames shipped as
+    # one u8 npz
+    n_procs = os.cpu_count() or 1
+    repo = os.path.dirname(os.path.abspath(__file__))
+    npz = "/tmp/bench_ref_frames.npz"
+    np.savez(
+        npz,
+        lefts=np.stack([np.clip(l, 0, 255).astype(np.uint8) for _, l, _ in frames]),
+        rights=np.stack([np.clip(r, 0, 255).astype(np.uint8) for _, _, r in frames]),
+        K=np.asarray(camera.K), P_left=np.asarray(camera.P_left),
+        P_right=np.asarray(camera.P_right), use_orb=cfg.use_orb, repo=repo,
+    )
+    t0 = time.perf_counter()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.join(repo, "scripts", "ref_cpu_worker.py"), npz],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for _ in range(n_procs)
+    ]
+    total_frames = 0
+    for pr in procs:
+        out, _ = pr.communicate(timeout=300)
+        total_frames += int(out.split()[0]) - 1
+    agg_wall = time.perf_counter() - t0
+    cpu_agg_fps = total_frames / agg_wall
+    ex["ref_cpu_fps_aggregate"] = round(cpu_agg_fps, 2)
+    ex["ref_cpu_procs"] = n_procs
+    _log(f"reference CPU aggregate ({n_procs} procs) done: {cpu_agg_fps:.2f} fps")
+
+    # --- 2. multi-stream (throughput) path: the headline metric.
+    #     S independent streams vmapped on one chip; even streams run the
+    #     sequence forward, odd streams reversed (different motion). ---
     def u8(x):
         return np.clip(x, 0, 255).astype(np.uint8)
 
@@ -128,96 +187,66 @@ def main():
     _log(f"multi-stream timed run done: {agg_fps:.2f} frames/s aggregate "
          f"({STREAMS} streams)")
     trajs = bvo.trajectories(n_stepped + 1)
-    gt_fwd = seq.gt_poses[: n_stepped + 1]
-    gt_rev = seq.gt_poses[::-1][: n_stepped + 1]
-    batch_ate_fwd = ate_rmse(trajs[0], gt_fwd)
-    batch_ate_rev = ate_rmse(trajs[1], gt_rev) if STREAMS > 1 else float("nan")
+    RESULT["value"] = round(agg_fps, 2)
+    RESULT["vs_baseline"] = (
+        round(agg_fps / cpu_agg_fps, 2) if cpu_agg_fps > 0 else None
+    )
+    ex["vs_ref_single"] = round(agg_fps / ref_fps, 2)
+    ex["batch_ate_fwd_m"] = round(
+        ate_rmse(trajs[0], seq.gt_poses[: n_stepped + 1]), 4
+    )
+    if STREAMS > 1:
+        ex["batch_ate_rev_m"] = round(
+            ate_rmse(trajs[1], seq.gt_poses[::-1][: n_stepped + 1]), 4
+        )
 
-    # --- BA solver throughput (reference back-end is an empty TODO loop,
-    #     src/map.cpp:84-88): windowed problems extracted from the LIVE map
-    #     the single-stream run just built ---
+    # --- 3. BA solver throughput on a window extracted from the LIVE map
+    #     the batched run just built (reference back-end is an empty TODO
+    #     loop, src/map.cpp:84-88) ---
     import jax.numpy as jnp
 
     from svo_tpu.ba.solver import solve_ba
     from svo_tpu.ba.window import extract_window
 
     BA_ITERS = 10
-    state = vo.state
+    st0 = jax.tree.map(lambda x: x[0], bvo.state)
     problem, _ = extract_window(
-        state.map, state.poses, state.frame_id,
+        st0.map, st0.poses, st0.frame_id,
         n_cams=10, n_points=1024, n_obs=4096,
     )
     bfx = jnp.float32(camera.K[0, 0] * camera.baseline)
-    ba_fn = jax.jit(
-        lambda p: solve_ba(p, camera.K, bfx, iterations=BA_ITERS)
-    )
+    ba_fn = jax.jit(lambda p: solve_ba(p, camera.K, bfx, iterations=BA_ITERS))
     ba_res = jax.block_until_ready(ba_fn(problem))  # compile
     reps = 20
     t0 = time.perf_counter()
     for _ in range(reps):
         ba_res = ba_fn(problem)
     jax.block_until_ready(ba_res.T_cw)
-    ba_iter_per_s = BA_ITERS * reps / (time.perf_counter() - t0)
-    n_ba_obs = int(np.asarray(problem.obs_valid).sum())
-    _log(f"BA solver: {ba_iter_per_s:.1f} LM iterations/s "
-         f"(10-cam window, {n_ba_obs} obs)")
-
-    # --- reference CPU pipeline: single process (as the reference binary
-    #     runs) and matched-aggregate (nproc concurrent processes) ---
-    from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
-
-    ref = ReferenceCpuPipeline(
-        cfg, np.asarray(camera.K), np.asarray(camera.P_left),
-        np.asarray(camera.P_right)
+    ex["ba_iterations_per_s"] = round(
+        BA_ITERS * reps / (time.perf_counter() - t0), 1
     )
-    ref_poses, ref_wall, ref_fps = ref.run(frames)
-    ref_ate = ate_rmse(ref_poses, seq.gt_poses[: len(ref_poses)])
-    _log(f"reference CPU single-process run done: {ref_fps:.2f} fps")
+    ex["ba_window_obs"] = int(np.asarray(problem.obs_valid).sum())
+    _log(f"BA solver: {ex['ba_iterations_per_s']:.1f} LM iterations/s "
+         f"({ex['ba_window_obs']} obs window)")
 
-    n_procs = os.cpu_count() or 1
-    wargs = (frames, cfg, np.asarray(camera.K), np.asarray(camera.P_left),
-             np.asarray(camera.P_right))
-    ctx = mp.get_context("fork")
-    t0 = time.perf_counter()
-    with ctx.Pool(n_procs) as pool:
-        results = pool.map(_ref_cpu_worker, [wargs] * n_procs)
-    agg_wall = time.perf_counter() - t0
-    cpu_agg_fps = sum(n - 1 for _, n in results) / agg_wall
-    _log(f"reference CPU aggregate ({n_procs} procs) done: "
-         f"{cpu_agg_fps:.2f} fps")
+    # --- 4. single-stream (latency) path — the most expensive compile,
+    #     deliberately last ---
+    vo = StereoVO(cfg, camera, chunk=CHUNK, kf_cadence=CADENCE)
+    vo.run_chunked(frames[: CHUNK + 1], preload=True)
+    _log("single-stream warm-up (compile) done")
+    res = vo.run_chunked(frames, preload=True)
+    single_fps = (res.n_frames - 1) / res.total_time_s
+    ex["single_stream_fps"] = round(single_fps, 2)
+    ex["single_vs_ref_single"] = round(single_fps / ref_fps, 2)
+    ex["ate_m"] = round(ate_rmse(res.poses, seq.gt_poses[: res.n_frames]), 4)
+    _log(f"single-stream timed run done: {single_fps:.2f} fps")
 
-    print(
-        json.dumps(
-            {
-                "metric": "vo_frames_per_s_per_chip",
-                "value": round(agg_fps, 2),
-                "unit": "frames/s",
-                "vs_baseline": (
-                    round(agg_fps / cpu_agg_fps, 2) if cpu_agg_fps > 0 else None
-                ),
-                "extra": {
-                    "streams": STREAMS,
-                    "chunk": CHUNK,
-                    "kf_cadence": CADENCE,
-                    "single_stream_fps": round(single_fps, 2),
-                    "ref_cpu_fps_single": round(ref_fps, 2),
-                    "ref_cpu_fps_aggregate": round(cpu_agg_fps, 2),
-                    "ref_cpu_procs": n_procs,
-                    "vs_ref_single": round(agg_fps / ref_fps, 2),
-                    "single_vs_ref_single": round(single_fps / ref_fps, 2),
-                    "ate_m": round(ate, 4),
-                    "batch_ate_fwd_m": round(batch_ate_fwd, 4),
-                    "batch_ate_rev_m": round(batch_ate_rev, 4),
-                    "ref_ate_m": round(ref_ate, 4),
-                    "ba_iterations_per_s": round(ba_iter_per_s, 1),
-                    "ba_window_obs": n_ba_obs,
-                    "frames": res.n_frames,
-                    "image": f"{SHAPE[0]}x{SHAPE[1]}",
-                },
-            }
-        )
-    )
+    ex["partial"] = False
+    _emit()
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    finally:
+        _emit()
