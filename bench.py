@@ -6,12 +6,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 - value: aggregate frames/s per chip — S independent VO streams batched on
   one chip (vmapped cadenced chunk step, device-resident, warm; compile
   excluded). Throughput-per-chip is the TPU-idiomatic serving measure.
-- vs_baseline: value / the reference CPU pipeline's AGGREGATE frames/s on
-  this host at matched concurrency (nproc concurrent reference processes —
-  the honest chip-vs-host comparison; one TPU chip replaces a whole CPU
-  host, not a single core). The single-process reference ratio (the
-  reference binary as it actually runs, src/main.cpp:38-53) is reported in
-  extra as vs_ref_single.
+- vs_baseline: value / the BEST reference CPU throughput measured on this
+  host: max(single-process fps, nproc-concurrent aggregate fps). OpenCV's
+  internal threading already saturates the cores, so concurrent reference
+  processes can thrash below the single process — taking the max picks the
+  defensible denominator either way. (Definition history: round 1 divided
+  by the single process, round 2 by the nproc aggregate; both inputs are
+  still reported in extra as ref_cpu_fps_single / ref_cpu_fps_aggregate.)
 - extra: single-stream (latency-path) fps, per-stream ATEs including a
   REVERSED stream (catches vmap/cadence bugs a forward-only check would
   miss), reference CPU numbers, and BA solver iterations/s (the back-end
@@ -188,9 +189,8 @@ def main():
          f"({STREAMS} streams)")
     trajs = bvo.trajectories(n_stepped + 1)
     RESULT["value"] = round(agg_fps, 2)
-    RESULT["vs_baseline"] = (
-        round(agg_fps / cpu_agg_fps, 2) if cpu_agg_fps > 0 else None
-    )
+    cpu_best = max(ref_fps, cpu_agg_fps)
+    RESULT["vs_baseline"] = round(agg_fps / cpu_best, 2) if cpu_best > 0 else None
     ex["vs_ref_single"] = round(agg_fps / ref_fps, 2)
     ex["batch_ate_fwd_m"] = round(
         ate_rmse(trajs[0], seq.gt_poses[: n_stepped + 1]), 4

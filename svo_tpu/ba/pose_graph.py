@@ -72,7 +72,7 @@ def optimize_pose_graph(
     graph: PoseGraph,
     iterations: int = 10,
     n_fixed: int = 1,
-    damping: float = 1e-3,
+    init_lambda: float = 1e-3,
 ) -> PoseGraphResult:
     """Levenberg-Marquardt on the pose graph. The first n_fixed nodes are
     anchored.
@@ -145,7 +145,7 @@ def optimize_pose_graph(
     cost0 = cost_at(graph.T_wc)
     (T, _, cost), _ = jax.lax.scan(
         lm_step,
-        (graph.T_wc, jnp.asarray(damping, graph.T_wc.dtype), cost0),
+        (graph.T_wc, jnp.asarray(init_lambda, graph.T_wc.dtype), cost0),
         None,
         length=iterations,
     )

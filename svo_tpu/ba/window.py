@@ -34,29 +34,34 @@ class WindowMapping(NamedTuple):
     frame_lo: jnp.ndarray      # first frame id in the window
 
 
-@partial(jax.jit, static_argnames=("n_cams", "n_points", "n_obs"))
-def extract_window(
-    mp: MapState,
-    poses_wc: jnp.ndarray,
-    frame_hi: jnp.ndarray,
-    n_cams: int,
-    n_points: int,
-    n_obs: int,
-) -> tuple[BAProblem, WindowMapping]:
-    """Build the BA problem for the window ending at frame_hi (inclusive)."""
-    frame_lo = jnp.maximum(frame_hi - (n_cams - 1), 0)
-    sel = (mp.obs_fid >= frame_lo) & (mp.obs_fid <= frame_hi) & (mp.obs_pid >= 0)
+class KfWindowMapping(NamedTuple):
+    slot_to_pid: jnp.ndarray   # (P,) global point id per window slot (-1 empty)
+    cam_fids: jnp.ndarray      # (K,) frame id of each camera slot (-1 empty),
+    #                            ascending with the padding slots FIRST
 
+
+def _compact_and_remap(mp: MapState, sel, row_cam, n_points: int, n_obs: int):
+    """Shared core of the window extractors: compact the selected observation
+    ring rows into n_obs slots, remap global point ids to dense window slots,
+    gate under-constrained points, and gather their world positions.
+
+    Args:
+        sel: (O_ring,) bool — ring rows that belong to the window.
+        row_cam: (O_ring,) i32 — camera slot of each ring row (only read
+            where sel).
+    Returns:
+        (obs_cam, obs_pnt, obs_uv, obs_ok, slot_to_pid, pnt_valid, points)
+    """
     # --- compact selected rows into n_obs slots ---
     sel_i = sel.astype(jnp.int32)
     rank = jnp.cumsum(sel_i) - sel_i
     row_slot = jnp.where(sel & (rank < n_obs), rank, n_obs)  # n_obs -> dropped
 
     O = n_obs
-    obs_fid = jnp.full((O,), -1, jnp.int32).at[row_slot].set(mp.obs_fid, mode="drop")
+    obs_cam = jnp.full((O,), -1, jnp.int32).at[row_slot].set(row_cam, mode="drop")
     obs_pid_g = jnp.full((O,), -1, jnp.int32).at[row_slot].set(mp.obs_pid, mode="drop")
     obs_uv = jnp.zeros((O, 3), jnp.float32).at[row_slot].set(mp.obs_uv, mode="drop")
-    obs_ok = obs_fid >= 0
+    obs_ok = obs_cam >= 0
 
     # --- remap global pids to dense window slots (sorted first-occurrence) ---
     pids_for_sort = jnp.where(obs_ok, obs_pid_g, _BIG)
@@ -92,6 +97,27 @@ def extract_window(
     constrained = (obs_per_slot >= 2) | (stereo_per_slot >= 1)
     pnt_valid = (slot_to_pid >= 0) & constrained
     points = mp.points[jnp.clip(slot_to_pid, 0)] * pnt_valid[:, None]
+    return obs_cam, obs_pnt, obs_uv, obs_ok, slot_to_pid, pnt_valid, points
+
+
+@partial(jax.jit, static_argnames=("n_cams", "n_points", "n_obs"))
+def extract_window(
+    mp: MapState,
+    poses_wc: jnp.ndarray,
+    frame_hi: jnp.ndarray,
+    n_cams: int,
+    n_points: int,
+    n_obs: int,
+) -> tuple[BAProblem, WindowMapping]:
+    """Build the BA problem for the FRAME window ending at frame_hi
+    (inclusive): cameras are the n_cams consecutive frames up to frame_hi."""
+    frame_lo = jnp.maximum(frame_hi - (n_cams - 1), 0)
+    sel = (mp.obs_fid >= frame_lo) & (mp.obs_fid <= frame_hi) & (mp.obs_pid >= 0)
+    row_cam = jnp.clip(mp.obs_fid - frame_lo, 0, n_cams - 1)
+
+    obs_cam, obs_pnt, obs_uv, obs_ok, slot_to_pid, pnt_valid, points = (
+        _compact_and_remap(mp, sel, row_cam, n_points, n_obs)
+    )
 
     cam_ids = frame_lo + jnp.arange(n_cams)
     T_wc = poses_wc[jnp.clip(cam_ids, 0, poses_wc.shape[0] - 1)]
@@ -103,12 +129,69 @@ def extract_window(
         cam_valid=cam_valid,
         points=points,
         pnt_valid=pnt_valid,
-        obs_cam=jnp.clip(obs_fid - frame_lo, 0, n_cams - 1),
+        obs_cam=jnp.clip(obs_cam, 0, n_cams - 1),
         obs_pnt=jnp.clip(obs_pnt, 0, n_points - 1),
         obs_uv=obs_uv,
         obs_valid=obs_ok,
     )
     return problem, WindowMapping(slot_to_pid=slot_to_pid, frame_lo=frame_lo)
+
+
+@partial(jax.jit, static_argnames=("n_cams", "n_points", "n_obs"))
+def extract_kf_window(
+    mp: MapState,
+    poses_wc: jnp.ndarray,
+    kf_flags: jnp.ndarray,
+    frame_hi: jnp.ndarray,
+    n_cams: int,
+    n_points: int,
+    n_obs: int,
+) -> tuple[BAProblem, KfWindowMapping]:
+    """Build the BA problem over the last n_cams KEYFRAMES at or before
+    frame_hi (SURVEY.md §6: the back-end window is keyframe-centric — the
+    reference's map is keyed by keyframes, include/map.h:46-48). Only
+    observations made AT those keyframes enter; with a keyframe cadence of c
+    the window spans ~n_cams*c frames of trajectory for the same problem
+    size as an n_cams frame window."""
+    F = kf_flags.shape[0]
+    fr = jnp.arange(F, dtype=jnp.int32)
+    is_kf = kf_flags & (fr <= frame_hi)
+    total = jnp.sum(is_kf.astype(jnp.int32))
+    csum = jnp.cumsum(is_kf.astype(jnp.int32))
+    in_win = is_kf & (csum > total - n_cams)
+
+    # camera slots ascending by frame id, empty (-1) slots first
+    desc, _ = jax.lax.top_k(jnp.where(in_win, fr, -1), n_cams)
+    cam_fids = desc[::-1]
+    cam_valid = cam_fids >= 0
+
+    # frame id -> camera slot lookup (F+1 sentinel row absorbs invalid)
+    frame_to_cam = (
+        jnp.full((F + 1,), -1, jnp.int32)
+        .at[jnp.where(cam_valid, cam_fids, F)]
+        .set(jnp.arange(n_cams, dtype=jnp.int32), mode="drop")
+    )
+    row_cam = frame_to_cam[jnp.clip(mp.obs_fid, 0, F)]
+    sel = (mp.obs_fid >= 0) & (row_cam >= 0) & (mp.obs_pid >= 0)
+
+    obs_cam, obs_pnt, obs_uv, obs_ok, slot_to_pid, pnt_valid, points = (
+        _compact_and_remap(mp, sel, row_cam, n_points, n_obs)
+    )
+
+    T_wc = poses_wc[jnp.clip(cam_fids, 0, poses_wc.shape[0] - 1)]
+    T_cw = se3.inverse(T_wc)
+
+    problem = BAProblem(
+        T_cw=T_cw,
+        cam_valid=cam_valid,
+        points=points,
+        pnt_valid=pnt_valid,
+        obs_cam=jnp.clip(obs_cam, 0, n_cams - 1),
+        obs_pnt=jnp.clip(obs_pnt, 0, n_points - 1),
+        obs_uv=obs_uv,
+        obs_valid=obs_ok,
+    )
+    return problem, KfWindowMapping(slot_to_pid=slot_to_pid, cam_fids=cam_fids)
 
 
 @jax.jit
@@ -132,4 +215,48 @@ def write_back(
     fidx = jnp.where(cam_valid, cam_ids, poses_wc.shape[0])
     T_wc_opt = se3.inverse(T_cw_opt)
     poses = poses_wc.at[fidx].set(T_wc_opt, mode="drop")
+    return mp._replace(points=points), poses
+
+
+@jax.jit
+def write_back_kf(
+    mp: MapState,
+    poses_wc: jnp.ndarray,
+    mapping: KfWindowMapping,
+    frame_hi: jnp.ndarray,
+    T_cw_opt: jnp.ndarray,
+    points_opt: jnp.ndarray,
+    pnt_valid: jnp.ndarray,
+    cam_valid: jnp.ndarray,
+) -> tuple[MapState, jnp.ndarray]:
+    """Write back a keyframe-window solve: optimized points scatter into the
+    global map, keyframe poses land exactly, and every non-keyframe pose in
+    [first window keyframe, frame_hi] is carried by the RIGID correction of
+    its nearest preceding window keyframe (C_k = T_wc_new[k] inv(T_wc_old[k]))
+    — the relative pose from that keyframe, which BA did not observe, is
+    preserved while the keyframe chain absorbs the drift correction."""
+    M = mp.points.shape[0]
+    pid = jnp.where(pnt_valid & (mapping.slot_to_pid >= 0), mapping.slot_to_pid, M)
+    points = mp.points.at[pid].set(points_opt, mode="drop")
+
+    F = poses_wc.shape[0]
+    cam_fids = mapping.cam_fids                       # ascending, -1 pads first
+    T_wc_new = se3.inverse(T_cw_opt)                  # (K,4,4)
+    T_wc_old = poses_wc[jnp.clip(cam_fids, 0, F - 1)]
+    corr = se3.compose(T_wc_new, se3.inverse(T_wc_old))  # (K,4,4)
+
+    # nearest preceding window keyframe for every frame index
+    fr = jnp.arange(F, dtype=jnp.int32)
+    k_of = jnp.searchsorted(cam_fids, fr, side="right") - 1  # (F,)
+    n_pad = jnp.sum((~cam_valid).astype(jnp.int32))
+    first_fid = cam_fids[jnp.clip(n_pad, 0, cam_fids.shape[0] - 1)]
+    in_span = (k_of >= n_pad) & (fr >= first_fid) & (fr <= frame_hi)
+
+    corr_f = corr[jnp.clip(k_of, 0, corr.shape[0] - 1)]      # (F,4,4)
+    corrected = se3.compose(corr_f, poses_wc)
+    poses = jnp.where(in_span[:, None, None], corrected, poses_wc)
+    # keyframe poses land exactly (corr @ old == new there by construction,
+    # up to fp error; set them explicitly to avoid drift of the anchor)
+    fidx = jnp.where(cam_valid, cam_fids, F)
+    poses = poses.at[fidx].set(T_wc_new, mode="drop")
     return mp._replace(points=points), poses

@@ -113,8 +113,8 @@ class BaParams:
     back-end (src/map.cpp:84-88, Ceres linked but never called)."""
 
     enabled: bool = False
-    window: int = 10               # frames in the optimization window
-    interval: int = 8              # run BA every `interval` frames
+    window: int = 8                # KEYFRAMES in the optimization window
+    interval: int = 4              # run BA every `interval` keyframes
     n_fixed: int = 1               # gauge-anchor cameras at the window start
     max_points: int = 1024         # point slots in the window problem
     max_obs: int = 4096            # observation slots in the window problem

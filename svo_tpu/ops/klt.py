@@ -90,9 +90,16 @@ def _level_rows(window: int, H: int) -> int:
 _PATCH_COLS = 64  # lane budget per patch; x corners are exact (lane roll)
 
 
+# Read once at import: the flag participates in no jit cache key, so reading
+# it at trace time made post-first-trace toggles silently ineffective for
+# already-cached shapes. Set SVO_TPU_NO_PALLAS before importing svo_tpu (the
+# bench A/B does this via a fresh subprocess).
+_NO_PALLAS = bool(os.environ.get("SVO_TPU_NO_PALLAS"))
+
+
 def _use_pallas(H: int, W: int, py: int) -> bool:
     """Trace-time choice of the extraction engine for one pyramid level."""
-    if os.environ.get("SVO_TPU_NO_PALLAS"):
+    if _NO_PALLAS:
         return False
     if jax.default_backend() in ("cpu", "gpu"):
         return False

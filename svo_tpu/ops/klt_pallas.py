@@ -106,7 +106,8 @@ def _pack_corners(ty0, tx0, cy0, cx0, valid, n_pad):
     return corners.reshape(-1)
 
 
-def _call(imgs, corners, *, n_total, py, px, wt, batched, S=1):
+def _call(imgs, corners, *, n_total, py, px, wt, batched, S=1,
+          interpret=False):
     H, W = imgs[0].shape[-2:]
     if batched:
         grid = (S, n_total // _BF)
@@ -143,11 +144,12 @@ def _call(imgs, corners, *, n_total, py, px, wt, batched, S=1):
         grid_spec=grid_spec,
         out_shape=[out_shape] * 4,
         compiler_params=_COMPILER_PARAMS,
+        interpret=interpret,
     )(corners, *imgs)
 
 
 @functools.lru_cache(maxsize=None)
-def _make_extract(py: int, px: int):
+def _make_extract(py: int, px: int, interpret: bool = False):
     @custom_batching.custom_vmap
     def extract(prev, gx, gy, curr, ty0, tx0, cy0, cx0, valid):
         H, W = prev.shape
@@ -158,6 +160,7 @@ def _make_extract(py: int, px: int):
         outs = _call(
             [prev, gx, gy, curr], corners,
             n_total=N + n_pad, py=py, px=px, wt=wt, batched=False,
+            interpret=interpret,
         )
         return tuple(o[0, :N] for o in outs)
 
@@ -180,6 +183,7 @@ def _make_extract(py: int, px: int):
         outs = _call(
             [prev, gx, gy, curr], corners,
             n_total=N + n_pad, py=py, px=px, wt=wt, batched=True, S=S,
+            interpret=interpret,
         )
         outs = tuple(o[:, :N] for o in outs)
         return outs, (True,) * 4
@@ -199,15 +203,27 @@ def extract_klt_patches(
     valid: jnp.ndarray,
     py: int,
     px: int,
+    interpret: bool = False,
 ):
     """Extract (N,py,px) patches: prev/gx/gy at (ty0,tx0), curr at (cy0,cx0).
 
     Corners must be pre-clamped to [0, dim - {py,px}] with ty0/cy0 multiples
     of 8 (see ops/klt.py:_corners). Requires W > 128 and H >= py — the
     caller falls back to the XLA path otherwise. vmap over a leading stream
-    axis dispatches one natively batched kernel (see module docstring)."""
+    axis dispatches one natively batched kernel (see module docstring).
+
+    interpret=True runs the kernel in Pallas interpret mode (CI parity tests
+    on CPU). In that mode W must be a multiple of 128: the kernel's 256-lane
+    span reads assume the TPU's physical lane-tile padding, which interpret
+    mode does not emulate — tests pad the image to the lane tile, exactly
+    reproducing the TPU memory layout."""
     W = prev.shape[-1]
     assert ((W + 127) // 128) * 128 >= 256, f"image too narrow: W={W}"
-    return _make_extract(py, px)(
+    if interpret:
+        assert W % 128 == 0, (
+            f"interpret mode requires lane-tile-padded images (W={W}); pad "
+            f"to a multiple of 128 to reproduce the TPU physical layout"
+        )
+    return _make_extract(py, px, interpret)(
         prev, gx, gy, curr, ty0, tx0, cy0, cx0, valid
     )

@@ -44,7 +44,8 @@ class BatchedStereoVO:
     the same image geometry); state is a pytree with a leading (S,) axis.
 
     Args:
-        chunk: frames per chunked dispatch (process_chunk input length).
+        chunk: frames per chunked dispatch (process_chunk input length);
+            must be a multiple of kf_cadence. 0 picks 2 cadences.
         kf_cadence: static keyframe period for the chunked path (must divide
             chunk). 0 picks cfg.tracking.kf_max_interval (or 4 if that is 0).
     """
@@ -54,7 +55,7 @@ class BatchedStereoVO:
         cfg: Config,
         camera: Camera,
         n_streams: int,
-        chunk: int = 8,
+        chunk: int = 0,
         kf_cadence: int = 0,
     ):
         self.cfg = cfg
@@ -62,8 +63,15 @@ class BatchedStereoVO:
         self.S = n_streams
         if kf_cadence <= 0:
             kf_cadence = cfg.tracking.kf_max_interval or 4
+        if chunk <= 0:
+            chunk = 2 * kf_cadence
         if chunk % kf_cadence != 0:
-            chunk = max(kf_cadence, (chunk // kf_cadence) * kf_cadence)
+            raise ValueError(
+                f"chunk ({chunk}) must be a multiple of kf_cadence "
+                f"({kf_cadence}) — callers pre-slice frames to the chunk "
+                f"size, so silently adjusting it would surface later as a "
+                f"confusing shape error in process_chunk"
+            )
         self.chunk = chunk
         self.kf_cadence = kf_cadence
         self.state = None

@@ -337,7 +337,9 @@ def _consensus_and_writeback(
     M = mp.points.shape[0]
     pid = jnp.where(
         problems.pnt_valid & (mappings.slot_to_pid >= 0), mappings.slot_to_pid, M
-    )  # (B,P); later blocks win collisions on shared points
+    )  # (B,P); on overlap-shared points the winning block is unspecified
+    # (XLA scatter with duplicate indices has no defined application order;
+    # both candidates are valid corrections, so either outcome is fine)
     points = mp.points.at[pid.reshape(-1)].set(pts_corr.reshape(-1, 3), mode="drop")
 
     return mp._replace(points=points), poses_out, frame_lo, pg

@@ -336,15 +336,23 @@ def step_body(
 
     # --- sliding-window bundle adjustment (the reference's empty back-end
     #     thread, src/map.cpp:84-88, realized) ---
+    # The window is KEYFRAME-unit (SURVEY.md §6: the back-end is
+    # keyframe-centric, like the reference's keyframe-keyed map,
+    # include/map.h:46-48): cameras are the last cfg.ba.window keyframes and
+    # BA triggers every cfg.ba.interval keyframes. Non-keyframe poses in the
+    # span ride their preceding keyframe's rigid correction (write_back_kf).
+    # Track-only steps (kf_mode="never") carry no BA code at all — a
+    # keyframe-triggered solve can never fire there.
     poses = state.poses.at[fid].set(pose)
-    if cfg.ba.enabled:
+    kf_flags = state.kf_flags.at[fid].set(is_kf)
+    if cfg.ba.enabled and kf_mode != "never":
         from svo_tpu.ba.solver import solve_ba
-        from svo_tpu.ba.window import extract_window, write_back
+        from svo_tpu.ba.window import extract_kf_window, write_back_kf
 
         def ba_branch(op):
             mp_in, poses_in = op
-            problem, mapping = extract_window(
-                mp_in, poses_in, fid,
+            problem, mapping = extract_kf_window(
+                mp_in, poses_in, kf_flags, fid,
                 n_cams=cfg.ba.window,
                 n_points=cfg.ba.max_points,
                 n_obs=cfg.ba.max_obs,
@@ -362,13 +370,18 @@ def step_body(
             improved = res.cost <= res.cost0
             T_cw_new = jnp.where(improved, res.T_cw, problem.T_cw)
             pts_new = jnp.where(improved, res.points, problem.points)
-            mp_out, poses_out = write_back(
-                mp_in, poses_in, mapping, T_cw_new, pts_new,
+            mp_out, poses_out = write_back_kf(
+                mp_in, poses_in, mapping, fid, T_cw_new, pts_new,
                 problem.pnt_valid, problem.cam_valid,
             )
             return mp_out, poses_out
 
-        run_ba = (fid % cfg.ba.interval == 0) & (fid >= cfg.ba.window)
+        kf_count = jnp.sum(kf_flags.astype(jnp.int32))
+        run_ba = (
+            is_kf
+            & (kf_count >= cfg.ba.window)
+            & (kf_count % cfg.ba.interval == 0)
+        )
         mp, poses = jax.lax.cond(run_ba, ba_branch, lambda op: op, (mp, poses))
         pose = poses[fid]
 
@@ -392,7 +405,7 @@ def step_body(
         rel_motion=rel_motion,
         prior_ok=pnp_healthy,
         poses=poses,
-        kf_flags=state.kf_flags.at[fid].set(is_kf),
+        kf_flags=kf_flags,
         metrics=state.metrics.at[fid].set(metrics_row),
         rng=rng,
     )

@@ -4,7 +4,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svo_tpu.ba.window import extract_window, write_back
+from svo_tpu.ba.window import (
+    extract_kf_window,
+    extract_window,
+    write_back,
+    write_back_kf,
+)
 from svo_tpu.config import BaParams, Config
 from svo_tpu.pipeline.state import MapState
 
@@ -111,6 +116,94 @@ def test_write_back_scatters():
     assert np.allclose(p2[6], np.eye(4))
 
 
+def test_extract_kf_window_selects_keyframes_only():
+    """The keyframe window must pick the last K KEYFRAMES (not frames) and
+    keep only observations made at those keyframes."""
+    cfg = Config(ba=BaParams(max_points=8, max_obs=16, ring_obs=64))
+    obs = [
+        (0, 5, 1, 1, -1),   # KF 0 — outside the 2-KF window
+        (2, 5, 2, 2, -1),   # KF 2 — in window
+        (3, 5, 9, 9, -1),   # frame 3 is NOT a keyframe -> excluded
+        (4, 7, 3, 3, 30.5),  # KF 4 — in window
+        (4, 5, 4, 4, -1),
+    ]
+    mp = _mk_map(cfg, n_pts=10, obs=obs)
+    F = 16
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
+    poses = poses.at[2, 0, 3].set(2.0).at[4, 0, 3].set(4.0)
+    kf_flags = jnp.zeros((F,), bool).at[jnp.asarray([0, 2, 4])].set(True)
+    problem, mapping = extract_kf_window(
+        mp, poses, kf_flags, jnp.int32(5), n_cams=2, n_points=8, n_obs=16
+    )
+    assert list(np.asarray(mapping.cam_fids)) == [2, 4]
+    assert list(np.asarray(problem.cam_valid)) == [True, True]
+    ov = np.asarray(problem.obs_valid)
+    assert ov.sum() == 3  # frame-0 and frame-3 rows excluded
+    # camera slots point at the right keyframes
+    cams = np.asarray(problem.obs_cam)[ov]
+    uv = np.asarray(problem.obs_uv)[ov]
+    got = sorted(zip(cams, uv[:, 0]))
+    assert got == [(0, 2.0), (1, 3.0), (1, 4.0)]
+    # T_cw is the inverse of the keyframe poses
+    assert np.allclose(np.asarray(problem.T_cw)[0][0, 3], -2.0, atol=1e-5)
+    assert np.allclose(np.asarray(problem.T_cw)[1][0, 3], -4.0, atol=1e-5)
+
+
+def test_extract_kf_window_pads_when_few_keyframes():
+    cfg = Config(ba=BaParams(max_points=8, max_obs=16, ring_obs=64))
+    mp = _mk_map(cfg, n_pts=4, obs=[(2, 1, 5, 5, 2.0)])
+    F = 16
+    poses = jnp.tile(jnp.eye(4, dtype=jnp.float32), (F, 1, 1))
+    kf_flags = jnp.zeros((F,), bool).at[2].set(True)
+    problem, mapping = extract_kf_window(
+        mp, poses, kf_flags, jnp.int32(5), n_cams=4, n_points=8, n_obs=16
+    )
+    # padding slots first, then the one real keyframe
+    assert list(np.asarray(mapping.cam_fids)) == [-1, -1, -1, 2]
+    assert list(np.asarray(problem.cam_valid)) == [False, False, False, True]
+    assert np.asarray(problem.obs_valid).sum() == 1
+    assert int(np.asarray(problem.obs_cam)[np.asarray(problem.obs_valid)][0]) == 3
+
+
+def test_write_back_kf_propagates_rigid_correction():
+    """Keyframe poses land exactly; intermediate frames ride the rigid
+    correction of their preceding window keyframe; frames outside the span
+    are untouched."""
+    cfg = Config(ba=BaParams(max_points=8, max_obs=16, ring_obs=64))
+    obs = [(2, 5, 2, 2, 1.0), (4, 5, 3, 3, 1.0)]
+    mp = _mk_map(cfg, n_pts=10, obs=obs)
+    F = 16
+    poses = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    for f in range(F):
+        poses[f, 0, 3] = float(f)  # x = frame id
+    poses = jnp.asarray(poses)
+    kf_flags = jnp.zeros((F,), bool).at[jnp.asarray([2, 4])].set(True)
+    problem, mapping = extract_kf_window(
+        mp, poses, kf_flags, jnp.int32(5), n_cams=2, n_points=8, n_obs=16
+    )
+    # shift both keyframes by +10 in x (world frame)
+    T_wc_new = np.array(jax.vmap(jnp.linalg.inv)(problem.T_cw))
+    T_wc_new[:, 0, 3] += 10.0
+    T_cw_new = jnp.asarray(np.linalg.inv(T_wc_new))
+    mp2, poses2 = write_back_kf(
+        mp, poses, mapping, jnp.int32(5), T_cw_new,
+        jnp.full_like(problem.points, 42.0), problem.pnt_valid,
+        problem.cam_valid,
+    )
+    p2 = np.asarray(poses2)
+    # keyframes exact
+    assert np.allclose(p2[2][0, 3], 12.0, atol=1e-4)
+    assert np.allclose(p2[4][0, 3], 14.0, atol=1e-4)
+    # intermediate + trailing frames carried by the rigid correction
+    assert np.allclose(p2[3][0, 3], 13.0, atol=1e-4)
+    assert np.allclose(p2[5][0, 3], 15.0, atol=1e-4)
+    # outside the span: untouched
+    assert np.allclose(p2[1][0, 3], 1.0, atol=1e-6)
+    assert np.allclose(p2[6][0, 3], 6.0, atol=1e-6)
+    # optimized point written
+    assert np.allclose(np.asarray(mp2.points)[5], 42.0)
+
+
 def test_pipeline_with_ba_runs():
     """Full pipeline with BA enabled must run and keep ATE bounded."""
     from svo_tpu.eval.trajectory import ate_rmse
@@ -124,7 +217,7 @@ def test_pipeline_with_ba_runs():
         image_height=184,
         image_width=320,
         ba=BaParams(
-            enabled=True, window=6, interval=4, max_points=512,
+            enabled=True, window=2, interval=1, max_points=512,
             max_obs=2048, iterations=5,
         ),
     )
