@@ -54,6 +54,7 @@ from svo_tpu.pipeline.odometry import StereoVO  # noqa: E402
 CHUNK = int(os.environ.get("BENCH_CHUNK", "12"))
 CADENCE = int(os.environ.get("BENCH_CADENCE", "6"))
 STREAMS = int(os.environ.get("BENCH_STREAMS", "8"))
+REFINE_EVERY = int(os.environ.get("BENCH_REFINE_EVERY", "2"))  # chunks
 # 1 bootstrap frame + k full chunks: avoids the single-step tail path
 N_FRAMES = int(os.environ.get("BENCH_FRAMES", str(1 + 8 * CHUNK)))
 SHAPE = (376, 1241)  # KITTI seq 00 image size
@@ -170,35 +171,74 @@ def main():
         chunks.append((jax.device_put(lefts), jax.device_put(rights)))
     jax.block_until_ready(chunks)
 
+    def stream_ates(trajs, n):
+        """Per-stream ATE: even streams ran the sequence forward, odd ones
+        reversed."""
+        out = []
+        for s in range(trajs.shape[0]):
+            gt = seq.gt_poses if s % 2 == 0 else seq.gt_poses[::-1]
+            out.append(round(ate_rmse(trajs[s], gt[:n]), 4))
+        return out
+
     bvo = BatchedStereoVO(cfg, camera, STREAMS, chunk=CHUNK, kf_cadence=CADENCE)
+    bvo.make_refiner()
     bvo.start(l0, r0)
     bvo.process_chunk(*chunks[0])  # compile
+    bvo.refine()                   # compile
     jax.block_until_ready(bvo.state.pose)
     _log("multi-stream warm-up (compile) done")
+    n_stepped = n_chunks * CHUNK
 
+    # 2a. front-end only (no refinement): the raw tracking throughput
     bvo.start(l0, r0)
     jax.block_until_ready(bvo.state.pose)
     t0 = time.perf_counter()
     for c in chunks:
         bvo.process_chunk(*c)
     jax.block_until_ready(bvo.state.pose)
+    fps_norefine = STREAMS * n_stepped / (time.perf_counter() - t0)
+    ates_norefine = stream_ates(bvo.trajectories(n_stepped + 1), n_stepped + 1)
+    _log(f"multi-stream (no refine) done: {fps_norefine:.2f} frames/s "
+         f"aggregate, per-stream ATE {ates_norefine}")
+
+    # 2b. THE HEADLINE: back-end engaged — global refinement (keyframe-block
+    #     BA + pose-graph, the capability the reference stubbed out at
+    #     src/map.cpp:84-88) every REFINE_EVERY chunks, inside the timed loop
+    bvo.start(l0, r0)
+    jax.block_until_ready(bvo.state.pose)
+    t0 = time.perf_counter()
+    for i, c in enumerate(chunks):
+        bvo.process_chunk(*c)
+        if (i + 1) % REFINE_EVERY == 0:
+            bvo.refine()
+    jax.block_until_ready(bvo.state.pose)
     batch_total = time.perf_counter() - t0
-    n_stepped = n_chunks * CHUNK
     agg_fps = STREAMS * n_stepped / batch_total
+    ates_refined = stream_ates(bvo.trajectories(n_stepped + 1), n_stepped + 1)
     _log(f"multi-stream timed run done: {agg_fps:.2f} frames/s aggregate "
-         f"({STREAMS} streams)")
-    trajs = bvo.trajectories(n_stepped + 1)
+         f"({STREAMS} streams, refine every {REFINE_EVERY} chunks), "
+         f"per-stream ATE {ates_refined}")
     RESULT["value"] = round(agg_fps, 2)
     cpu_best = max(ref_fps, cpu_agg_fps)
     RESULT["vs_baseline"] = round(agg_fps / cpu_best, 2) if cpu_best > 0 else None
     ex["vs_ref_single"] = round(agg_fps / ref_fps, 2)
-    ex["batch_ate_fwd_m"] = round(
-        ate_rmse(trajs[0], seq.gt_poses[: n_stepped + 1]), 4
-    )
+    ex["agg_fps_no_refine"] = round(fps_norefine, 2)
+    ex["refine_every_chunks"] = REFINE_EVERY
+    ex["ate_per_stream_m"] = ates_refined
+    ex["ate_per_stream_no_refine_m"] = ates_norefine
+    ex["ate_max_over_streams_m"] = max(ates_refined)
+    ex["ate_max_no_refine_m"] = max(ates_norefine)
+    ex["batch_ate_fwd_m"] = ates_refined[0]
     if STREAMS > 1:
-        ex["batch_ate_rev_m"] = round(
-            ate_rmse(trajs[1], seq.gt_poses[::-1][: n_stepped + 1]), 4
-        )
+        ex["batch_ate_rev_m"] = ates_refined[1]
+
+    # 2c. Pallas kernel A/B on the live chip: the patch-extraction kernel vs
+    #     the XLA dynamic_slice reference on a real frame — TPU-path
+    #     divergence shows up as a number here, not as ATE drift
+    from svo_tpu.ops.klt import patch_extraction_selftest
+
+    ex["pallas_ab_max_diff"] = patch_extraction_selftest(frames[1][1])
+    _log(f"pallas A/B self-test: max diff {ex['pallas_ab_max_diff']}")
 
     # --- 3. BA solver throughput on a window extracted from the LIVE map
     #     the batched run just built (reference back-end is an empty TODO

@@ -354,6 +354,73 @@ def _track_impl(
     return KltResult(pos=new_pos, status=status, err=min_eig_out)
 
 
+def patch_extraction_selftest(
+    img, n: int = 64, window: int = 21, seed: int = 0
+) -> float:
+    """A/B the Pallas patch kernel against the XLA dynamic_slice reference on
+    a REAL image and return the max |difference| (expected exactly 0.0).
+
+    Runs the same geometry the tracker uses at level 0: edge-padded image,
+    sublane-aligned y corners, exact x corners. On TPU the kernel runs
+    compiled; on CPU it runs in interpret mode on a lane-tile-padded copy
+    (reproducing the TPU physical layout). bench.py calls this on the live
+    chip so a divergence in the TPU path is caught by a number, not by
+    downstream ATE drift."""
+    import numpy as np
+
+    from svo_tpu.ops.klt_pallas import extract_klt_patches
+
+    img = jnp.asarray(img, jnp.float32)
+    img_p = jnp.pad(img, ((_PAD_Y, _PAD_Y), (_PAD_X, _PAD_X)), mode="edge")
+    gx, gy = scharr_gradients(img_p)
+    H, W = img_p.shape
+    py, px = _level_rows(window, H), _PATCH_COLS
+    if py == 0 or W < px + 1:
+        raise ValueError(f"image too small for the self-test: {img.shape}")
+
+    rng = np.random.default_rng(seed)
+    pos = np.stack(
+        [
+            rng.uniform(0, W - 1, n).astype(np.float32),
+            rng.uniform(0, H - 1, n).astype(np.float32),
+        ],
+        axis=-1,
+    )
+    guess = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
+    ty0, tx0, cy0, cx0 = _corners(
+        jnp.asarray(pos), jnp.asarray(guess), H, W, py, px
+    )
+    valid = jnp.ones((n,), bool)
+
+    interpret = jax.default_backend() in ("cpu", "gpu")
+    if interpret:
+        wt = ((W + 127) // 128) * 128
+        pad_w = wt - W
+        garbage = jnp.asarray(
+            rng.uniform(-1e4, 1e4, (H, pad_w)).astype(np.float32)
+        )
+        imgs_k = [
+            jnp.concatenate([a, garbage], axis=1)
+            for a in (img_p, gx, gy, img_p)
+        ]
+    else:
+        imgs_k = [img_p, gx, gy, img_p]
+    got = extract_klt_patches(
+        *imgs_k, ty0, tx0, cy0, cx0, valid, py=py, px=px, interpret=interpret
+    )
+    tc = jnp.stack([ty0, tx0], -1)
+    cc = jnp.stack([cy0, cx0], -1)
+    want = [
+        _extract_patches_xla(img_p, tc, py, px),
+        _extract_patches_xla(gx, tc, py, px),
+        _extract_patches_xla(gy, tc, py, px),
+        _extract_patches_xla(img_p, cc, py, px),
+    ]
+    return float(
+        max(jnp.max(jnp.abs(g - w)) for g, w in zip(got, want))
+    )
+
+
 class KltTracker:
     """Pyramid-caching KLT front. Build pyramids once per image, reuse for
     both stereo matching and temporal tracking (the reference recomputes

@@ -140,3 +140,56 @@ class BatchedStereoVO:
     def trajectories(self, n_frames: int) -> np.ndarray:
         """(S, n_frames, 4, 4) camera-to-world trajectories."""
         return np.asarray(self.state.poses[:, :n_frames])
+
+    # -- global refinement (the reference's empty back-end thread,
+    #    src/map.cpp:84-88, run periodically between chunks) --------------
+
+    def make_refiner(
+        self,
+        n_blocks: int = 4,
+        cams_per_block: int = 9,
+        n_points: int = 512,
+        n_obs: int = 2048,
+        ba_iterations: int = 8,
+        pg_iterations: int = 8,
+    ):
+        """Build the jitted per-stream global refiner: keyframe-block BA +
+        pose-graph consensus (parallel/global_opt.refine_global) vmapped over
+        the S streams, updating poses, map points, AND the recursive current
+        pose so the correction feeds back into subsequent tracking. Call
+        refine() every few chunks; the span covered is
+        (n_blocks-1)*(cams_per_block-2)+cams_per_block frames."""
+        from svo_tpu.parallel.global_opt import refine_global
+
+        K_mat = jnp.asarray(self.camera.K)
+        bfx = jnp.float32(self.camera.K[0, 0] * self.camera.baseline)
+
+        def one(mp, poses, fid):
+            return refine_global(
+                mp, poses, fid, K_mat, bfx,
+                n_blocks=n_blocks, cams_per_block=cams_per_block,
+                n_points=n_points, n_obs=n_obs,
+                ba_iterations=ba_iterations, pg_iterations=pg_iterations,
+            )
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _refine(state):
+            res = jax.vmap(one)(state.map, state.poses, state.frame_id)
+            pose = jax.vmap(lambda P, f: P[f])(res.poses, state.frame_id)
+            new_state = state._replace(
+                map=state.map._replace(points=res.map.points),
+                poses=res.poses,
+                pose=pose,
+            )
+            return new_state, res.accepted
+
+        self._refine = _refine
+        return _refine
+
+    def refine(self) -> np.ndarray:
+        """Run one global-refinement sweep on every stream's trailing span.
+        Returns the per-stream acceptance verdicts (the span-cost gate)."""
+        if not hasattr(self, "_refine"):
+            self.make_refiner()
+        self.state, accepted = self._refine(self.state)
+        return np.asarray(accepted)

@@ -77,6 +77,52 @@ def test_batched_chunked_matches_single_stream_cadenced():
         np.testing.assert_allclose(traj_chunk[s], res.poses[:F], atol=1e-3)
 
 
+def test_batched_refine_runs_and_respects_gate():
+    """The vmapped between-chunk global refiner (bench path) must execute,
+    keep every stream's trajectory finite, update the recursive pose to the
+    refined trajectory head, and leave the ATE no worse (the span-cost gate
+    guarantees improvement-or-parity on the BA objective; on these short
+    clean runs the trajectory must stay within the same accuracy band)."""
+    from svo_tpu.eval.trajectory import ate_rmse
+    from svo_tpu.io.synthetic import SyntheticSequence
+
+    S, F = 2, 13  # 1 bootstrap + 3 chunks of 4
+    shape = (184, 320)
+    all_frames, cfg, camera = _make(S, F, shape)
+
+    def u8(x):
+        return np.clip(x, 0, 255).astype(np.uint8)
+
+    bvo = BatchedStereoVO(cfg, camera, S, chunk=4, kf_cadence=2)
+    bvo.make_refiner(n_blocks=2, cams_per_block=5, n_points=256, n_obs=1024,
+                     ba_iterations=4, pg_iterations=4)
+    bvo.start(
+        np.stack([fr[0][1] for fr in all_frames]),
+        np.stack([fr[0][2] for fr in all_frames]),
+    )
+    for c0 in range(1, F - 1, 4):
+        lefts = np.stack([np.stack([u8(fr[t][1]) for fr in all_frames])
+                          for t in range(c0, c0 + 4)])
+        rights = np.stack([np.stack([u8(fr[t][2]) for fr in all_frames])
+                           for t in range(c0, c0 + 4)])
+        bvo.process_chunk(lefts, rights)
+    before = bvo.trajectories(F)
+    accepted = bvo.refine()
+    after = bvo.trajectories(F)
+    assert accepted.shape == (S,)
+    assert np.isfinite(after).all()
+    # recursive pose was synced to the refined trajectory head
+    head = np.asarray(bvo.state.pose)
+    np.testing.assert_allclose(head, after[:, F - 1], atol=1e-6)
+    for s in range(S):
+        gt = SyntheticSequence(
+            n_frames=F, shape=shape, fx=200.0, speed=0.2 + 0.02 * s, seed=s
+        ).gt_poses
+        a0 = ate_rmse(before[s], gt)
+        a1 = ate_rmse(after[s], gt)
+        assert a1 < max(1.5 * a0, a0 + 0.01), (s, a0, a1)
+
+
 def test_batched_shape_validation():
     S, F = 2, 5
     shape = (184, 320)

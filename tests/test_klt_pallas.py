@@ -131,6 +131,16 @@ def test_kernel_batched_custom_vmap_rule():
             np.testing.assert_array_equal(gk[s], per_stream[s][k])
 
 
+def test_patch_extraction_selftest_zero_diff():
+    """The bench's on-chip A/B helper must report exact parity here too
+    (CPU -> interpret mode on a garbage-padded lane-tile copy)."""
+    from svo_tpu.ops.klt import patch_extraction_selftest
+
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 255, (120, 300)).astype(np.float32)
+    assert patch_extraction_selftest(img, n=48) == 0.0
+
+
 def test_kernel_all_invalid_returns_zeros():
     rng = np.random.default_rng(5)
     H, W_true, N = 96, 512, 32
