@@ -110,47 +110,64 @@ def main():
     )
 
     # --- 1. reference CPU baselines (cheap, no TPU compile) ---
-    from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
+    # BENCH_SKIP_REF=1 skips them for TPU-side iteration (vs_baseline comes
+    # out null; the driver's full run never sets it).
+    skip_ref = bool(os.environ.get("BENCH_SKIP_REF"))
+    if skip_ref:
+        ref_fps = cpu_agg_fps = 0.0
+        ex["ref_ate_m"] = 0.1904  # last full-run measurement, for the logs
+        _log("BENCH_SKIP_REF set: skipping reference CPU stages")
+    else:
+        from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
 
-    ref = ReferenceCpuPipeline(
-        cfg, np.asarray(camera.K), np.asarray(camera.P_left),
-        np.asarray(camera.P_right)
-    )
-    ref_poses, ref_wall, ref_fps = ref.run(frames)
-    ex["ref_cpu_fps_single"] = round(ref_fps, 2)
-    ex["ref_ate_m"] = round(ate_rmse(ref_poses, seq.gt_poses[: len(ref_poses)]), 4)
-    _log(f"reference CPU single-process run done: {ref_fps:.2f} fps")
+        ref = ReferenceCpuPipeline(
+            cfg, np.asarray(camera.K), np.asarray(camera.P_left),
+            np.asarray(camera.P_right)
+        )
+        ref_poses, ref_wall, ref_fps = ref.run(frames)
+        ex["ref_cpu_fps_single"] = round(ref_fps, 2)
+        ex["ref_ate_m"] = round(
+            ate_rmse(ref_poses, seq.gt_poses[: len(ref_poses)]), 4
+        )
+        _log(f"reference CPU single-process run done: {ref_fps:.2f} fps")
 
     # matched-aggregate: nproc FRESH interpreters (cannot fork after the TPU
     # client initializes; see scripts/ref_cpu_worker.py), frames shipped as
     # one u8 npz
-    n_procs = os.cpu_count() or 1
-    repo = os.path.dirname(os.path.abspath(__file__))
-    npz = "/tmp/bench_ref_frames.npz"
-    np.savez(
-        npz,
-        lefts=np.stack([np.clip(l, 0, 255).astype(np.uint8) for _, l, _ in frames]),
-        rights=np.stack([np.clip(r, 0, 255).astype(np.uint8) for _, _, r in frames]),
-        K=np.asarray(camera.K), P_left=np.asarray(camera.P_left),
-        P_right=np.asarray(camera.P_right), use_orb=cfg.use_orb, repo=repo,
-    )
-    t0 = time.perf_counter()
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.join(repo, "scripts", "ref_cpu_worker.py"), npz],
-            stdout=subprocess.PIPE, text=True,
+    if not skip_ref:
+        n_procs = os.cpu_count() or 1
+        repo = os.path.dirname(os.path.abspath(__file__))
+        npz = "/tmp/bench_ref_frames.npz"
+        np.savez(
+            npz,
+            lefts=np.stack(
+                [np.clip(l, 0, 255).astype(np.uint8) for _, l, _ in frames]
+            ),
+            rights=np.stack(
+                [np.clip(r, 0, 255).astype(np.uint8) for _, _, r in frames]
+            ),
+            K=np.asarray(camera.K), P_left=np.asarray(camera.P_left),
+            P_right=np.asarray(camera.P_right), use_orb=cfg.use_orb, repo=repo,
         )
-        for _ in range(n_procs)
-    ]
-    total_frames = 0
-    for pr in procs:
-        out, _ = pr.communicate(timeout=300)
-        total_frames += int(out.split()[0]) - 1
-    agg_wall = time.perf_counter() - t0
-    cpu_agg_fps = total_frames / agg_wall
-    ex["ref_cpu_fps_aggregate"] = round(cpu_agg_fps, 2)
-    ex["ref_cpu_procs"] = n_procs
-    _log(f"reference CPU aggregate ({n_procs} procs) done: {cpu_agg_fps:.2f} fps")
+        t0 = time.perf_counter()
+        procs = [
+            subprocess.Popen(
+                [sys.executable,
+                 os.path.join(repo, "scripts", "ref_cpu_worker.py"), npz],
+                stdout=subprocess.PIPE, text=True,
+            )
+            for _ in range(n_procs)
+        ]
+        total_frames = 0
+        for pr in procs:
+            out, _ = pr.communicate(timeout=300)
+            total_frames += int(out.split()[0]) - 1
+        agg_wall = time.perf_counter() - t0
+        cpu_agg_fps = total_frames / agg_wall
+        ex["ref_cpu_fps_aggregate"] = round(cpu_agg_fps, 2)
+        ex["ref_cpu_procs"] = n_procs
+        _log(f"reference CPU aggregate ({n_procs} procs) done: "
+             f"{cpu_agg_fps:.2f} fps")
 
     # --- 2. multi-stream (throughput) path: the headline metric.
     #     S independent streams vmapped on one chip; even streams run the
@@ -163,6 +180,7 @@ def main():
     r0 = np.stack([st[0][2] for st in streams])
     rest = list(range(1, N_FRAMES))
     n_chunks = len(rest) // CHUNK
+    _log(f"staging {n_chunks} chunks on device...")
     chunks = []
     for c0 in range(0, n_chunks * CHUNK, CHUNK):
         ts = rest[c0 : c0 + CHUNK]
@@ -170,6 +188,7 @@ def main():
         rights = np.stack([np.stack([u8(st[t][2]) for st in streams]) for t in ts])
         chunks.append((jax.device_put(lefts), jax.device_put(rights)))
     jax.block_until_ready(chunks)
+    _log("chunk staging done")
 
     def stream_ates(trajs, n):
         """Per-stream ATE: even streams ran the sequence forward, odd ones

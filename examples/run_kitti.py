@@ -29,6 +29,12 @@ parser.add_argument("--gt", help="ground-truth poses txt", default="")
 parser.add_argument("--start", type=int, default=None)
 parser.add_argument("--end", type=int, default=None)
 parser.add_argument("--ba", action="store_true", help="enable windowed BA")
+parser.add_argument("--refine", action="store_true",
+                    help="global refinement sweep (keyframe-block BA + "
+                         "pose-graph consensus) over the finished trajectory")
+parser.add_argument("--refine-blocks", type=int, default=4)
+parser.add_argument("--refine-cams", type=int, default=7,
+                    help="cameras per refinement block")
 parser.add_argument("--fast", action="store_true", help="FAST detector (default ORB)")
 parser.add_argument("--chunk", type=int, default=0, help="frames per device dispatch")
 parser.add_argument("--cadence", type=int, default=0,
@@ -100,6 +106,41 @@ if args.chunk:
 else:
     res = vo.run(frames, verbose=args.verbose)
 wall = time.time() - t0
+
+if args.refine:
+    # Sweep the block-BA + pose-graph refiner (parallel/global_opt) across
+    # the trajectory in consecutive spans — the back-end pass the reference
+    # declared and never built (src/map.cpp:84-88). Updates res.poses in
+    # place so every output below (trajectory file, ATE, plot) is refined.
+    import jax.numpy as jnp  # noqa: E402
+
+    from svo_tpu.parallel import global_opt  # noqa: E402
+
+    bfx = jnp.float32(camera.K[0, 0] * camera.baseline)
+    span = global_opt.block_span(args.refine_blocks, args.refine_cams)
+    state = vo.state
+    mp_state, poses = state.map, state.poses
+    n = res.n_frames
+    his = list(range(span - 1, n, span - 1)) or [n - 1]
+    if his[-1] != n - 1:
+        his.append(n - 1)
+    t_r = time.time()
+    n_acc = 0
+    for hi in his:
+        out = global_opt.refine_global(
+            mp_state, poses, jnp.int32(hi), jnp.asarray(camera.K), bfx,
+            n_blocks=args.refine_blocks, cams_per_block=args.refine_cams,
+        )
+        mp_state, poses = out.map, out.poses
+        n_acc += int(out.accepted)
+    refined = np.asarray(poses[:n])
+    print(f"refine:       {len(his)} sweeps ({n_acc} accepted) over "
+          f"{n} frames in {time.time() - t_r:.2f}s")
+    if len(gt):
+        before = ate_rmse(res.poses, gt[cfg.start_frame : cfg.start_frame + n])
+        after = ate_rmse(refined, gt[cfg.start_frame : cfg.start_frame + n])
+        print(f"refine ATE:   {before:.4f} m -> {after:.4f} m")
+    res.poses = refined
 
 print(f"frames:       {res.n_frames}")
 print(f"wall:         {wall:.2f}s  ({res.fps:.2f} fps)")
