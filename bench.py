@@ -240,7 +240,8 @@ def main():
     RESULT["value"] = round(agg_fps, 2)
     cpu_best = max(ref_fps, cpu_agg_fps)
     RESULT["vs_baseline"] = round(agg_fps / cpu_best, 2) if cpu_best > 0 else None
-    ex["vs_ref_single"] = round(agg_fps / ref_fps, 2)
+    if ref_fps > 0:
+        ex["vs_ref_single"] = round(agg_fps / ref_fps, 2)
     ex["agg_fps_no_refine"] = round(fps_norefine, 2)
     ex["refine_every_chunks"] = REFINE_EVERY
     ex["ate_per_stream_m"] = ates_refined
@@ -296,7 +297,8 @@ def main():
     res = vo.run_chunked(frames, preload=True)
     single_fps = (res.n_frames - 1) / res.total_time_s
     ex["single_stream_fps"] = round(single_fps, 2)
-    ex["single_vs_ref_single"] = round(single_fps / ref_fps, 2)
+    if ref_fps > 0:
+        ex["single_vs_ref_single"] = round(single_fps / ref_fps, 2)
     ex["ate_m"] = round(ate_rmse(res.poses, seq.gt_poses[: res.n_frames]), 4)
     _log(f"single-stream timed run done: {single_fps:.2f} fps")
 

@@ -60,7 +60,18 @@ def _compact_and_remap(mp: MapState, sel, row_cam, n_points: int, n_obs: int):
     O = n_obs
     obs_cam = jnp.full((O,), -1, jnp.int32).at[row_slot].set(row_cam, mode="drop")
     obs_pid_g = jnp.full((O,), -1, jnp.int32).at[row_slot].set(mp.obs_pid, mode="drop")
-    obs_uv = jnp.zeros((O, 3), jnp.float32).at[row_slot].set(mp.obs_uv, mode="drop")
+    # assemble the (O,3) problem-side obs_uv from the three 1-D rings
+    # (MapState stores them separately for scatter-layout stability)
+    obs_uv = jnp.stack(
+        [
+            jnp.zeros((O,), jnp.float32).at[row_slot].set(mp.obs_u, mode="drop"),
+            jnp.zeros((O,), jnp.float32).at[row_slot].set(mp.obs_v, mode="drop"),
+            jnp.full((O,), -1.0, jnp.float32).at[row_slot].set(
+                mp.obs_ur, mode="drop"
+            ),
+        ],
+        axis=-1,
+    )
     obs_ok = obs_cam >= 0
 
     # --- remap global pids to dense window slots (sorted first-occurrence) ---

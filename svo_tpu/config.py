@@ -67,6 +67,15 @@ class TrackingParams:
     # points drag the pose. The reference has no gate (cheirality only,
     # src/tracking.cpp:136).
     max_depth_baselines: float = 100.0
+    # Retire tracks older than this many frames (0 disables). Under receding
+    # motion features never leave the view (they shrink toward the image
+    # center), so chained-KLT template drift and stale one-shot
+    # triangulations accumulate unboundedly in the PnP set; forward motion
+    # self-heals only because features exit the FOV. The reference has no
+    # cap — cv2's tracker sheds features fast enough that age never builds.
+    # 30 frames (5 keyframe cadences): measured on the 8-stream bench to cut
+    # reversed-stream ATE ~2x while slightly improving forward streams.
+    max_track_age: int = 30
 
 
 @dataclass(frozen=True)

@@ -70,15 +70,16 @@ def _record_obs(
     storage for windowed BA — the reference kept observations in per-point
     hash maps, include/map_point.h:17-19). u_right < 0 marks a mono
     observation; stereo rows pin the BA scale gauge."""
-    O = mp.obs_uv.shape[0]
+    O = mp.obs_u.shape[0]
     v = valid.astype(jnp.int32)
     offs = jnp.cumsum(v) - v
     slots = jnp.where(valid, (mp.obs_cursor + offs) % O, O)  # O -> dropped
     if u_right is None:
         u_right = jnp.full(pid.shape, -1.0, jnp.float32)
-    uv3 = jnp.concatenate([uv, u_right[:, None]], axis=-1)
     return mp._replace(
-        obs_uv=mp.obs_uv.at[slots].set(uv3, mode="drop"),
+        obs_u=mp.obs_u.at[slots].set(uv[:, 0], mode="drop"),
+        obs_v=mp.obs_v.at[slots].set(uv[:, 1], mode="drop"),
+        obs_ur=mp.obs_ur.at[slots].set(u_right, mode="drop"),
         obs_pid=mp.obs_pid.at[slots].set(pid, mode="drop"),
         obs_fid=mp.obs_fid.at[slots].set(
             jnp.broadcast_to(frame_id, pid.shape), mode="drop"
@@ -318,6 +319,15 @@ def step_body(
         & (uv_now[:, 1] >= -20)
         & (uv_now[:, 1] < Hh + 20)
     )
+    if cfg.tracking.max_track_age > 0:
+        # Retire old tracks (see TrackingParams.max_track_age): under
+        # receding motion features never exit the FOV, so chained-KLT drift
+        # and stale triangulations otherwise accumulate without bound.
+        # strict < : with the cap a multiple of the keyframe cadence, a
+        # keyframe-born track dies exactly IN a keyframe step (post-PnP,
+        # pre-replenish), so its slot refills with a fresh detection in the
+        # same step instead of idling through a track-only cadence group.
+        geom_ok = geom_ok & (tracked.age < cfg.tracking.max_track_age)
     feats = tracked._replace(valid=tracked.valid & pres.inliers & geom_ok)
 
     # record tracking observations for BA

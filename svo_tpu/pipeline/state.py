@@ -50,7 +50,16 @@ class MapState(NamedTuple):
     points: jnp.ndarray    # (M, 3) f32 world positions
     n_points: jnp.ndarray  # i32 allocation cursor
     # --- observation ring (COO) for windowed BA ---
-    obs_uv: jnp.ndarray    # (O, 3) f32: u_left, v_left, u_right (-1 if mono)
+    # Stored as THREE 1-D rings rather than one (O,3) array: the ring is a
+    # scan carry updated by scatter every frame, and XLA assigns an (O,3)
+    # array a scatter-friendly layout that differs from the carry layout —
+    # costing two full-ring transpose copies per frame step (~2 ms/step at
+    # 8 streams, measured). 1-D scatters update in place in the native
+    # layout. The BA problem side still assembles an (O,3) obs_uv at window
+    # extraction time (rare), see ba/window.py.
+    obs_u: jnp.ndarray     # (O,) f32 u_left
+    obs_v: jnp.ndarray     # (O,) f32 v_left
+    obs_ur: jnp.ndarray    # (O,) f32 u_right (-1 if mono)
     obs_pid: jnp.ndarray   # (O,) i32 point id
     obs_fid: jnp.ndarray   # (O,) i32 frame id
     obs_cursor: jnp.ndarray  # i32 ring cursor
@@ -62,7 +71,9 @@ class MapState(NamedTuple):
         return MapState(
             points=jnp.zeros((m, 3), jnp.float32),
             n_points=jnp.zeros((), jnp.int32),
-            obs_uv=jnp.zeros((o, 3), jnp.float32),
+            obs_u=jnp.zeros((o,), jnp.float32),
+            obs_v=jnp.zeros((o,), jnp.float32),
+            obs_ur=jnp.full((o,), -1.0, jnp.float32),
             obs_pid=jnp.full((o,), -1, jnp.int32),
             obs_fid=jnp.full((o,), -1, jnp.int32),
             obs_cursor=jnp.zeros((), jnp.int32),

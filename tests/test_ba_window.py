@@ -19,7 +19,7 @@ def _mk_map(cfg, n_pts, obs):
     mp = MapState.empty(cfg)
     pts = np.zeros((mp.points.shape[0], 3), np.float32)
     pts[:n_pts] = np.arange(n_pts * 3).reshape(n_pts, 3)
-    O = mp.obs_uv.shape[0]
+    O = mp.obs_u.shape[0]
     uv = np.zeros((O, 3), np.float32)
     pid = np.full(O, -1, np.int32)
     fid = np.full(O, -1, np.int32)
@@ -30,7 +30,9 @@ def _mk_map(cfg, n_pts, obs):
     return mp._replace(
         points=jnp.asarray(pts),
         n_points=jnp.int32(n_pts),
-        obs_uv=jnp.asarray(uv),
+        obs_u=jnp.asarray(uv[:, 0]),
+        obs_v=jnp.asarray(uv[:, 1]),
+        obs_ur=jnp.asarray(uv[:, 2]),
         obs_pid=jnp.asarray(pid),
         obs_fid=jnp.asarray(fid),
         obs_cursor=jnp.int32(len(obs)),

@@ -93,7 +93,9 @@ def make_drifted_state(rng, n_frames=25, n_pts=320, obs_per_frame=48,
     mp = MapState(
         points=jnp.asarray(points),
         n_points=jnp.int32(n_pts),
-        obs_uv=jnp.asarray(uv),
+        obs_u=jnp.asarray(uv[:, 0]),
+        obs_v=jnp.asarray(uv[:, 1]),
+        obs_ur=jnp.asarray(uv[:, 2]),
         obs_pid=jnp.asarray(pid),
         obs_fid=jnp.asarray(fid),
         obs_cursor=jnp.int32(n_o),
