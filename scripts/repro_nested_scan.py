@@ -43,7 +43,9 @@ def build(variant: str):
     GROUPS, INNER = 2, 5
 
     def extract(img, pos, use_pallas: bool):
-        ty0, tx0, cy0, cx0 = _corners(pos, jnp.zeros_like(pos), H, W, PY, PX)
+        ty0, tx0, cy0, cx0 = _corners(
+            pos, jnp.zeros_like(pos), H, W, PY, PX, 21, 6
+        )
         if use_pallas:
             t, gx, gy, c = extract_klt_patches(
                 img, img, img, img, ty0, tx0, cy0, cx0,

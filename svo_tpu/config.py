@@ -89,6 +89,12 @@ class KltParams:
     max_iters: int = 50
     eps: float = 1e-3         # convergence threshold on |delta| per iteration
     min_eig_threshold: float = 1e-4  # cv2 minEigThreshold default
+    # Negative-x iteration travel budget (px, per pyramid level) — sizes the
+    # patch the tracker extracts. 6 suffices for temporal tracking (the
+    # coarse-to-fine chain leaves ~2-3 px of per-level residual); stereo
+    # matching needs more: disparity moves features LEFT by up to
+    # ~disparity/2^L px at the top level before the guess chain kicks in.
+    margin_x: int = 6
 
 
 @dataclass(frozen=True)
@@ -184,7 +190,9 @@ class Config:
     # updates are statically unrolled on TPU, so the budget is also the
     # exact per-level cost.
     stereo_klt: KltParams = field(
-        default_factory=lambda: KltParams(window=11, max_level=3, max_iters=12)
+        default_factory=lambda: KltParams(
+            window=11, max_level=3, max_iters=12, margin_x=16
+        )
     )
     temporal_klt: KltParams = field(
         default_factory=lambda: KltParams(window=21, max_level=3, max_iters=12)

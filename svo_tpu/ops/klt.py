@@ -63,15 +63,21 @@ _PAD_Y = 24
 _PAD_X = 32
 
 
-def _patch_rows(window: int) -> int:
-    """Full patch row count, rounded up to the sublane tile (8).
+# Margin-based patch geometry: the window's top-left sits at a fixed small
+# margin inside the patch instead of at its center. Round-2 centered patches
+# were 48x64 to cover centering + alignment + travel; the margins shrink
+# them to 40x40 (temporal), cutting extraction writes ~2x and every blend
+# contraction ~40% for the same iteration semantics (features needing more
+# than the travel budget freeze and fail the patch check, as before — only
+# the budget is tighter, ~±12 px/level vs ~±21).
+_MY = 6  # rows of upward iteration travel before the patch clamp binds
 
-    Budget: the window itself + centering (the window top sits ~half below
-    the patch center) + up to 7 rows of sublane alignment shift + 1 bilinear
-    slack + ~8 rows of downward iteration travel. The hard minimum for a
-    usable TEMPLATE is window + 19 (no iteration room); _level_rows shrinks
-    toward that on pyramid levels too short for the full patch."""
-    return ((window + (window - 1) // 2 + 17 + 7) // 8) * 8
+
+def _patch_rows(window: int) -> int:
+    """Patch rows, rounded to the sublane tile (8). Budget: window + the
+    y margin + up to 7 rows of sublane alignment shift + 1 bilinear slack
+    + downward travel absorbed by the round-up."""
+    return ((window + _MY + 9 + 7) // 8) * 8
 
 
 def _level_rows(window: int, H: int) -> int:
@@ -82,12 +88,16 @@ def _level_rows(window: int, H: int) -> int:
     py = _patch_rows(window)
     while py > H - 1:
         py -= 8
-    if py < window + 19:
+    if py < window + _MY + 9:
         return 0
     return py
 
 
-_PATCH_COLS = 64  # lane budget per patch; x corners are exact (lane roll)
+def _patch_cols(window: int, margin_x: int) -> int:
+    """Patch cols: window + left margin (negative-x travel budget) + ~12 px
+    of positive-x travel + bilinear slack, rounded to 8. x corners are
+    EXACT (the kernel lane-rolls), so no alignment allowance is needed."""
+    return ((window + margin_x + 13 + 7) // 8) * 8
 
 
 # Read once at import: the flag participates in no jit cache key, so reading
@@ -95,6 +105,13 @@ _PATCH_COLS = 64  # lane budget per patch; x corners are exact (lane roll)
 # already-cached shapes. Set SVO_TPU_NO_PALLAS before importing svo_tpu (the
 # bench A/B does this via a fresh subprocess).
 _NO_PALLAS = bool(os.environ.get("SVO_TPU_NO_PALLAS"))
+# Opt IN to the fused LK-level kernel (ops/lk_pallas.py). Default OFF: the
+# batched separable-hat formulation is correct (interpret-mode parity tests
+# pass) but THIS environment's Mosaic build SIGABRTs on any 3-D value slice
+# (see docs/mosaic_limits.md for the minimal probes), so the kernel cannot
+# compile on the real chip yet. The shipped TPU path is the extraction
+# kernel + XLA iterations.
+_FUSED_LK = bool(os.environ.get("SVO_TPU_FUSED_LK"))
 
 
 def _use_pallas(H: int, W: int, py: int) -> bool:
@@ -119,19 +136,22 @@ def _extract_patches_xla(img, corners, py: int, px: int):
     return jax.vmap(one)(corners)
 
 
-def _corners(pos, guess, H: int, W: int, py: int, px: int):
+def _corners(pos, guess, H: int, W: int, py: int, px: int, w: int, mx: int):
     """Integer patch corners for the template (at pos) and current (at
-    pos+guess) patches. y corners are aligned DOWN to the sublane tile (8) —
-    the Pallas kernel's vector loads need provably aligned row starts; the
-    fractional offsets downstream account for the shift exactly."""
+    pos+guess) patches: the WINDOW top-left minus a small margin (not the
+    patch center). y corners are additionally aligned DOWN to the sublane
+    tile (8) — the Pallas kernel's vector loads need provably aligned row
+    starts; the fractional offsets downstream account for the shift
+    exactly. x corners are exact (the kernel lane-rolls)."""
+    hw = (w - 1) // 2  # integral for odd windows: floor(p - half) = floor(p) - hw
 
     def corner(p):
         y0 = jnp.clip(
-            jnp.floor(p[:, 1]).astype(jnp.int32) - py // 2, 0, max(H - py, 0)
+            jnp.floor(p[:, 1]).astype(jnp.int32) - hw - _MY, 0, max(H - py, 0)
         )
         y0 = (y0 // 8) * 8
         x0 = jnp.clip(
-            jnp.floor(p[:, 0]).astype(jnp.int32) - px // 2, 0, max(W - px, 0)
+            jnp.floor(p[:, 0]).astype(jnp.int32) - hw - mx, 0, max(W - px, 0)
         )
         return y0, x0
 
@@ -173,7 +193,10 @@ def _blend(patches, offset, window: int):
 
 @partial(
     jax.jit,
-    static_argnames=("window", "max_level", "max_iters"),
+    static_argnames=(
+        "window", "max_level", "max_iters", "eps", "min_eig_threshold",
+        "margin_x",
+    ),
 )
 def _track_impl(
     prev_levels: tuple[jnp.ndarray, ...],
@@ -187,11 +210,12 @@ def _track_impl(
     max_iters: int,
     eps: float,
     min_eig_threshold: float,
+    margin_x: int = 6,
 ):
     N = pos.shape[0]
     w = window
     half = (w - 1) / 2.0
-    px = _PATCH_COLS
+    px = _patch_cols(w, margin_x)
     eps2 = eps * eps
     win_area = float(w * w)
     max_off_x = px - w - 1.0
@@ -220,7 +244,32 @@ def _track_impl(
         # positions in padded-image coordinates: thanks to the padding a
         # feature anywhere inside the true image never hits the corner clamp
         p_pad = p_lvl + jnp.asarray([_PAD_X, _PAD_Y], p_lvl.dtype)
-        ty0, tx0, cy0, cx0 = _corners(p_pad, guess, H, W, py, px)
+
+        if _use_pallas(H, W, py) and _FUSED_LK:
+            # --- fused LK level: extraction + template sampling + all
+            # iterations inside one Pallas kernel (ops/lk_pallas.py);
+            # outputs only flow + flags, no patch materialization ---
+            from svo_tpu.ops.lk_pallas import lk_track_level
+
+            d, min_eig, solvable, in_fin = lk_track_level(
+                img_prev, gx, gy, img_curr, p_pad, guess, status,
+                window=w, py=py, max_iters=max_iters, eps=eps,
+                min_eig_threshold=min_eig_threshold,
+            )
+            status = status & solvable
+            min_eig_out = jnp.where(level == 0, min_eig, min_eig_out)
+            final_pt = p_lvl + d
+            inside_img = (
+                (final_pt[:, 0] >= 0)
+                & (final_pt[:, 0] < Wt)
+                & (final_pt[:, 1] >= 0)
+                & (final_pt[:, 1] < Ht)
+            )
+            status = status & inside_img & in_fin
+            guess = d
+            continue
+
+        ty0, tx0, cy0, cx0 = _corners(p_pad, guess, H, W, py, px, w, margin_x)
 
         if _use_pallas(H, W, py):
             from svo_tpu.ops.klt_pallas import extract_klt_patches
@@ -374,7 +423,7 @@ def patch_extraction_selftest(
     img_p = jnp.pad(img, ((_PAD_Y, _PAD_Y), (_PAD_X, _PAD_X)), mode="edge")
     gx, gy = scharr_gradients(img_p)
     H, W = img_p.shape
-    py, px = _level_rows(window, H), _PATCH_COLS
+    py, px = _level_rows(window, H), _patch_cols(window, 6)
     if py == 0 or W < px + 1:
         raise ValueError(f"image too small for the self-test: {img.shape}")
 
@@ -388,7 +437,7 @@ def patch_extraction_selftest(
     )
     guess = rng.uniform(-3, 3, (n, 2)).astype(np.float32)
     ty0, tx0, cy0, cx0 = _corners(
-        jnp.asarray(pos), jnp.asarray(guess), H, W, py, px
+        jnp.asarray(pos), jnp.asarray(guess), H, W, py, px, window, 6
     )
     valid = jnp.ones((n,), bool)
 
@@ -471,4 +520,5 @@ class KltTracker:
             max_iters=params.max_iters,
             eps=params.eps,
             min_eig_threshold=params.min_eig_threshold,
+            margin_x=params.margin_x,
         )

@@ -52,8 +52,9 @@ _MARGIN = 6      # initial integer corner sits at (margin, margin)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
-def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
-            bf, py, px, wt, ht, w, n_total, batched, max_iters, eps,
+def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
+            out_ref, *,
+            bf, py, px, wt, iw, ht, w, n_total, batched, max_iters, eps,
             min_eig_threshold, t_scr, gx_scr, gy_scr, c_scr):
     if batched:
         s = pl.program_id(0)
@@ -92,12 +93,12 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
                 dst[k] = span[:, :px]
 
             t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
-            t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, wt - px)
+            t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
             c_iy = jnp.clip(
                 jnp.floor(cy).astype(jnp.int32) - _MARGIN, 0, ht - py
             )
             c_ix = jnp.clip(
-                jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, wt - px
+                jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, iw - px
             )
             load(prev_ref, t_scr, t_iy, t_ix)
             load(gx_ref, gx_scr, t_iy, t_ix)
@@ -116,54 +117,71 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
 
     jax.lax.fori_loop(0, bf, setup, 0)
 
-    # ---- batched fractional offsets (recomputed vectorized over the block;
-    # scalar SMEM reads inside the loop above stay scalar) ----
-    idx = jax.lax.broadcasted_iota(jnp.int32, (bf, 1), 0)
-    fbase = (base + blk * bf + idx[:, 0]) * 6
+    # ---- batched fractional offsets: the same per-feature floats come in
+    # a second time as a VMEM block (Mosaic cannot vector-gather from the
+    # SMEM prefetch array; the scalar reads in the setup loop can't read
+    # vectors) ----
+    def _c(a, i):
+        # column read as slice+reshape: integer indexing on a value
+        # lowers to a gather, which Mosaic rejects
+        return a[:, i:i + 1].reshape(a.shape[0])
 
-    def gather_f(off):
-        return jax.vmap(lambda i: flt_ref[i + off])(fbase)
-
-    tx = gather_f(0)
-    ty = gather_f(1)
-    cx = gather_f(2)
-    cy = gather_f(3)
-    live = gather_f(4) > 0
+    v = fltv_ref[0]                 # (bf, 8)
+    tx = _c(v, 0)
+    ty = _c(v, 1)
+    cx = _c(v, 2)
+    cy = _c(v, 3)
+    live = _c(v, 4) > 0
 
     t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
-    t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, wt - px)
+    t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
     c_iy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - _MARGIN, 0, ht - py)
-    c_ix = jnp.clip(jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, wt - px)
+    c_ix = jnp.clip(jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, iw - px)
     t_off = jnp.stack([tx - t_ix, ty - t_iy], axis=-1)      # (bf, 2)
     o0 = jnp.stack([cx - c_ix, cy - c_iy], axis=-1)         # (bf, 2)
 
-    # template usable iff its fractional offset stayed in [0, 1) after the
+    # template tap budget: wide enough for border-clamped offsets (the
+    # sampled window must stay inside the patch: offset <= min(py,px)-w-1)
+    tt_t = min(py, px) - w
+    assert tt_t >= 2, (py, px, w)
+
+    # template usable iff its offset stayed within the tap budget after the
     # clamp (the XLA path's t_in check with the exact-corner layout)
     t_in = (
-        (t_off[:, 0] >= 0.0) & (t_off[:, 0] <= px - w - 1.0)
-        & (t_off[:, 1] >= 0.0) & (t_off[:, 1] <= py - w - 1.0)
+        (_c(t_off, 0) >= 0.0) & (_c(t_off, 0) <= tt_t - 2.0)
+        & (_c(t_off, 1) >= 0.0) & (_c(t_off, 1) <= tt_t - 2.0)
     )
-    t_off = jnp.clip(t_off, 0.0, min(px, py) - w - 1.0)
+    t_off = jnp.clip(t_off, 0.0, tt_t - 2.0)
 
-    def sample(scr, o):
-        """Separable hat-tap bilinear sample: (bf, w, w) windows of scr at
-        per-feature offsets o (bf, 2) in [0, _TT-2]."""
-        taps = jnp.arange(_TT, dtype=jnp.float32)
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(o[:, 0:1] - taps))  # (bf, _TT)
+    def sample(scr, o, tt):
+        """Separable hat-tap bilinear sample: (bf, w, w) windows of scr
+        at per-feature offsets o (bf, 2) in [0, tt-2]. hat(t) puts the
+        two bilinear weights on the straddling taps; every slice is
+        static, so the whole block stays batched VPU work."""
+        taps = jnp.arange(tt, dtype=jnp.float32)
+        hx = jnp.maximum(0.0, 1.0 - jnp.abs(o[:, 0:1] - taps))  # (bf, tt)
         hy = jnp.maximum(0.0, 1.0 - jnp.abs(o[:, 1:2] - taps))
-        rows = _TT - 1 + w
-        A = hx[:, 0, None, None] * scr[:, :rows, 0:w]
-        for i in range(1, _TT):
-            A = A + hx[:, i, None, None] * scr[:, :rows, i:i + w]
-        Iw = hy[:, 0, None, None] * A[:, 0:w]
-        for j in range(1, _TT):
-            Iw = Iw + hy[:, j, None, None] * A[:, j:j + w]
+        rows = tt - 1 + w
+        A = hx[:, 0:1, None] * scr[:, :rows, 0:w]
+        for i in range(1, tt):
+            A = A + hx[:, i:i + 1, None] * scr[:, :rows, i:i + w]
+        Iw = hy[:, 0:1, None] * A[:, 0:w]
+        for j in range(1, tt):
+            Iw = Iw + hy[:, j:j + 1, None] * A[:, j:j + w]
         return Iw
 
+    # materialize the scratch blocks once; sample() then slices VALUES
+    # (static slices of a vector value lower cleanly; multi-dim strided
+    # reads of a ref hit Mosaic's gather path and fail)
+    t_val = t_scr[...]
+    gx_val = gx_scr[...]
+    gy_val = gy_scr[...]
+    c_val = c_scr[...]
+
     # template + gradients at the fixed fractional offset (2 hot taps)
-    T = sample(t_scr, t_off)
-    Tx = sample(gx_scr, t_off)
-    Ty = sample(gy_scr, t_off)
+    T = sample(t_val, t_off, tt_t)
+    Tx = sample(gx_val, t_off, tt_t)
+    Ty = sample(gy_val, t_off, tt_t)
 
     a11 = jnp.sum(Tx * Tx, axis=(1, 2))
     a12 = jnp.sum(Tx * Ty, axis=(1, 2))
@@ -185,12 +203,12 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
 
     def lk_iter(_, carry):
         o, conv = carry
+        ox, oy = _c(o, 0), _c(o, 1)
         in_patch = (
-            (o[:, 0] >= 0.0) & (o[:, 0] <= Rf)
-            & (o[:, 1] >= 0.0) & (o[:, 1] <= Rf)
+            (ox >= 0.0) & (ox <= Rf) & (oy >= 0.0) & (oy <= Rf)
         )
         o_cl = jnp.clip(o, 0.0, Rf)
-        Iw = sample(c_scr, o_cl)
+        Iw = sample(c_val, o_cl, _TT)
         diff = Iw - T
         b1 = jnp.sum(diff * Tx, axis=(1, 2))
         b2 = jnp.sum(diff * Ty, axis=(1, 2))
@@ -207,14 +225,15 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
     )
 
     solvable = (min_eig > min_eig_threshold) & (det > 1e-12) & t_in & live
+    ofx, ofy = _c(o_fin, 0), _c(o_fin, 1)
     in_fin = (
-        (o_fin[:, 0] >= -1.0) & (o_fin[:, 0] <= Rf + 1.0)
-        & (o_fin[:, 1] >= -1.0) & (o_fin[:, 1] <= Rf + 1.0)
+        (ofx >= -1.0) & (ofx <= Rf + 1.0)
+        & (ofy >= -1.0) & (ofy <= Rf + 1.0)
     )
     out_ref[0] = jnp.stack(
         [
-            o_fin[:, 0] - o0[:, 0],            # dx relative to the guess
-            o_fin[:, 1] - o0[:, 1],            # dy
+            ofx - _c(o0, 0),                   # dx relative to the guess
+            ofy - _c(o0, 1),                   # dy
             min_eig,
             solvable.astype(jnp.float32),
             in_fin.astype(jnp.float32),
@@ -227,24 +246,31 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, out_ref, *,
 
 
 def _pack_floats(t_tl, c_tl, valid, n_pad):
+    """Returns (smem_flat, vmem_blk8): the same per-feature floats for
+    the scalar-prefetch setup loop and as a (…, N, 8) VMEM operand for
+    the batched phase."""
+    z = jnp.zeros_like(t_tl[..., 0])
     flt = jnp.stack(
         [
             t_tl[..., 0], t_tl[..., 1], c_tl[..., 0], c_tl[..., 1],
-            valid.astype(jnp.float32), jnp.zeros_like(t_tl[..., 0]),
+            valid.astype(jnp.float32), z,
         ],
         axis=-1,
     )
+    fltv = jnp.concatenate([flt, z[..., None], z[..., None]], axis=-1)
     if n_pad:
         pad = [(0, 0)] * (flt.ndim - 2) + [(0, n_pad), (0, 0)]
         flt = jnp.pad(flt, pad)
-    return flt.reshape(-1)
+        fltv = jnp.pad(fltv, pad)
+    return flt.reshape(-1), fltv
 
 
-def _call(imgs, flt, *, n_total, py, wt, ht, w, max_iters, eps,
+def _call(imgs, flt, fltv, *, n_total, py, wt, iw, ht, w, max_iters, eps,
           min_eig_threshold, batched, S=1, interpret=False):
     H, W = imgs[0].shape[-2:]
     kern = functools.partial(
-        _kernel, bf=_BF, py=py, px=_PX, wt=wt, ht=ht, w=w, n_total=n_total,
+        _kernel, bf=_BF, py=py, px=_PX, wt=wt, iw=iw, ht=ht, w=w,
+        n_total=n_total,
         batched=batched, max_iters=max_iters, eps=eps,
         min_eig_threshold=min_eig_threshold,
     )
@@ -254,7 +280,7 @@ def _call(imgs, flt, *, n_total, py, wt, ht, w, max_iters, eps,
         img_spec = pl.BlockSpec(
             (1, H, W), lambda s, f, *_: (s, 0, 0), memory_space=pltpu.VMEM
         )
-        out_spec = pl.BlockSpec(
+        blk8_spec = pl.BlockSpec(
             (1, _BF, 8), lambda s, f, *_: (s, f, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((S, n_total, 8), jnp.float32)
@@ -263,21 +289,23 @@ def _call(imgs, flt, *, n_total, py, wt, ht, w, max_iters, eps,
         img_spec = pl.BlockSpec(
             (1, H, W), lambda f, *_: (0, 0, 0), memory_space=pltpu.VMEM
         )
-        out_spec = pl.BlockSpec(
+        blk8_spec = pl.BlockSpec(
             (1, _BF, 8), lambda f, *_: (0, f, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((1, n_total, 8), jnp.float32)
         imgs = [i[None] if i.ndim == 2 else i for i in imgs]
+        fltv = fltv[None]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
-        in_specs=[img_spec] * 4,
-        out_specs=out_spec,
+        in_specs=[img_spec] * 4 + [blk8_spec],
+        out_specs=blk8_spec,
         scratch_shapes=scratch,
     )
 
-    def wrapped(flt_ref, prev, gx, gy, curr, out, t_s, gx_s, gy_s, c_s):
-        kern(flt_ref, prev, gx, gy, curr, out,
+    def wrapped(flt_ref, prev, gx, gy, curr, fltv_r, out,
+                t_s, gx_s, gy_s, c_s):
+        kern(flt_ref, prev, gx, gy, curr, fltv_r, out,
              t_scr=t_s, gx_scr=gx_s, gy_scr=gy_s, c_scr=c_s)
 
     return pl.pallas_call(
@@ -286,7 +314,7 @@ def _call(imgs, flt, *, n_total, py, wt, ht, w, max_iters, eps,
         out_shape=out_shape,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
-    )(flt, *imgs)
+    )(flt, *imgs, fltv)
 
 
 @functools.lru_cache(maxsize=None)
@@ -298,10 +326,10 @@ def _make_track(py: int, w: int, max_iters: int, eps: float,
         N = valid.shape[0]
         n_pad = (-N) % _BF
         wt = ((W + 127) // 128) * 128
-        flt = _pack_floats(t_tl, c_tl, valid, n_pad)
+        flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
-            [prev, gx, gy, curr], flt,
-            n_total=N + n_pad, py=py, wt=wt, ht=H, w=w,
+            [prev, gx, gy, curr], flt, fltv,
+            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
             batched=False, interpret=interpret,
@@ -323,10 +351,10 @@ def _make_track(py: int, w: int, max_iters: int, eps: float,
         N = valid.shape[1]
         n_pad = (-N) % _BF
         wt = ((W + 127) // 128) * 128
-        flt = _pack_floats(t_tl, c_tl, valid, n_pad)
+        flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
-            [prev, gx, gy, curr], flt,
-            n_total=N + n_pad, py=py, wt=wt, ht=H, w=w,
+            [prev, gx, gy, curr], flt, fltv,
+            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
             batched=True, S=S, interpret=interpret,

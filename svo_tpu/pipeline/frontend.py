@@ -509,21 +509,45 @@ def make_cadenced_chunk_step(
         kf_step = jax.vmap(kf_step)
         track_step = jax.vmap(track_step)
 
+    import os
+
+    # Outer scan is the default: the round-2 Pallas + nested-scan TPU
+    # runtime fault (commit fe957ee) no longer reproduces on the current
+    # jax/libtpu — verified by scripts/repro_nested_scan.py AND by the full
+    # pipeline producing bit-identical trajectories vs the unrolled path at
+    # identical throughput (scripts/time_chunk.py, 8 streams). The Python
+    # unroll is kept as a fallback (SVO_TPU_UNROLL_GROUPS=1); the nested
+    # program is O(1) in chunk/cadence and compiles ~2x faster.
+    nested = not bool(os.environ.get("SVO_TPU_UNROLL_GROUPS"))
+
     @partial(jax.jit, donate_argnums=(0,))
     def run_chunk(
         state: VoState, lefts_u8: jnp.ndarray, rights_u8: jnp.ndarray
     ) -> VoState:
-        # Groups are UNROLLED in Python (there are only chunk/cadence of
-        # them): nesting the group loop as an outer lax.scan around the
-        # track-step scan triggers a TPU runtime fault in combination with
-        # the Pallas patch kernel (each piece alone runs fine), and with
-        # chunk == cadence this shape has no outer loop at all.
+        def tbody(s, xy):
+            return track_step(s, xy[0], xy[1]), None
+
+        if nested and cadence > 1:
+            # Outer lax.scan over cadence groups: O(1) program size in
+            # chunk/cadence (compiles ~linearly faster for long chunks).
+            lg = lefts_u8.reshape((groups, cadence) + lefts_u8.shape[1:])
+            rg = rights_u8.reshape((groups, cadence) + rights_u8.shape[1:])
+
+            def group_body(s, xy):
+                gl, gr = xy
+                s = kf_step(s, gl[0], gr[0])
+                s, _ = jax.lax.scan(tbody, s, (gl[1:], gr[1:]))
+                return s, None
+
+            state, _ = jax.lax.scan(group_body, state, (lg, rg))
+            return state
+
+        # Groups UNROLLED in Python (there are only chunk/cadence of them):
+        # the round-2-safe structure; with chunk == cadence there is no
+        # outer loop at all.
         for g in range(groups):
             state = kf_step(state, lefts_u8[g * cadence], rights_u8[g * cadence])
             if cadence > 1:
-                def tbody(s, xy):
-                    return track_step(s, xy[0], xy[1]), None
-
                 state, _ = jax.lax.scan(
                     tbody, state,
                     (
