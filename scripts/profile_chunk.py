@@ -111,29 +111,44 @@ with jax.profiler.trace(trace_dir):
     jax.block_until_ready(bvo.state.pose)
 log("trace captured")
 
-# ---- parse the xplane trace: aggregate device self-time per HLO op ----
-xplanes = glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True)
-if not xplanes:
-    log("no xplane.pb found; raw dir listing:")
+# ---- parse the raw trace-viewer JSON (tensorboard_plugin_profile is broken
+# in this environment: protobuf/pywrap mismatch): aggregate device time per
+# op name and per op-type prefix on the TPU lane ----
+traces = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+if not traces:
+    log("no trace.json.gz found; raw dir listing:")
     os.system(f"find {trace_dir} | head -20")
     sys.exit(1)
 
-from tensorboard_plugin_profile.convert import raw_to_tool_data
+import collections
 
-for tool in ("framework_op_stats", "op_profile"):
-    try:
-        data, _ = raw_to_tool_data.xspace_to_tool_data(xplanes, tool, {})
-        out = f"/tmp/svo_trace_{tool}.json"
-        with open(out, "w") as f:
-            f.write(data if isinstance(data, str) else data.decode())
-        log(f"{tool} -> {out}")
-    except Exception as e:  # noqa: BLE001
-        log(f"{tool} failed: {e}")
+with gzip.open(traces[0]) as f:
+    tr = json.load(f)
+ev = [e for e in tr["traceEvents"] if e.get("ph") == "X"]
+pids = {
+    e["pid"]: e["args"].get("name", "")
+    for e in tr["traceEvents"]
+    if e.get("ph") == "M" and e.get("name") == "process_name"
+}
+tpu_pids = [p for p, n in pids.items() if "TPU" in n]
+dev = [e for e in ev if e["pid"] in tpu_pids]
+lanes = collections.Counter(e["tid"] for e in dev)
+work = [e for e in dev if lanes[e["tid"]] == max(lanes.values())]
 
-# framework_op_stats is a JSON table; print top rows by total self time
-try:
-    with open("/tmp/svo_trace_framework_op_stats.json") as f:
-        tbl = json.load(f)
-    print(json.dumps(tbl, indent=0)[:200], file=sys.stderr)
-except Exception as e:  # noqa: BLE001
-    log(f"parse failed: {e}")
+by_name = collections.Counter()
+by_kind = collections.Counter()
+cnt = collections.Counter()
+for e in work:
+    by_name[e["name"]] += e["dur"]
+    kind = e["name"].split(".")[0]
+    by_kind[kind] += e["dur"]
+    cnt[kind] += 1
+total = sum(e["dur"] for e in work)
+print(f"\ndevice lane events: {len(work)}, total (incl. nesting) "
+      f"{total / 1e3:.1f} ms")
+print("-- by op kind --")
+for n, d in by_kind.most_common(18):
+    print(f"  {d / 1e3:9.2f} ms x{cnt[n]:6d}  {n}")
+print("-- top individual ops --")
+for n, d in by_name.most_common(args.top):
+    print(f"  {d / 1e3:9.2f} ms  {n[:90]}")

@@ -34,6 +34,9 @@ parser.add_argument("--ckpt-at", type=int, default=0,
 parser.add_argument("--resume-chunks", type=int, default=4,
                     help="chunks to re-run from the checkpoint for the "
                          "equivalence check")
+parser.add_argument("--refine-every", type=int, default=0,
+                    help="run global refinement (keyframe-block BA + "
+                         "pose-graph) every N chunks (0 = off)")
 parser.add_argument("--out", type=str, default="")
 args = parser.parse_args()
 
@@ -95,14 +98,43 @@ vo.start(l0, r0)
 log(f"soak start: {args.frames} frames, {n_chunks} chunks of {CH}, "
     f"checkpoint at chunk {ckpt_at}")
 
+refiner = None
+if args.refine_every:
+    import jax.numpy as jnp
+
+    from svo_tpu.parallel.global_opt import refine_global
+
+    K_mat = jnp.asarray(camera.K)
+    bfx = jnp.float32(camera.K[0, 0] * camera.baseline)
+
+    reject = float(os.environ.get("SOAK_REFINE_REJECT", "100.0"))
+
+    @jax.jit
+    def _refine(mp, poses, fid):
+        res = refine_global(
+            mp, poses, fid, K_mat, bfx, reject_threshold=reject
+        )
+        return res.map, res.poses, res.poses[fid], res.accepted
+
+    def refiner(state):
+        mp, poses, pose, acc = _refine(state.map, state.poses, state.frame_id)
+        return state._replace(
+            map=state.map._replace(points=mp.points), poses=poses, pose=pose
+        ), acc
+
 hw = {"n_points": 0, "obs_cursor": 0}
 compute_s = 0.0
+refine_accepts = 0
+refine_calls = 0
 for c in range(n_chunks):
     ls, rs = render_chunk(c)  # lazy render (not timed as compute)
     t0 = time.perf_counter()
     if c == ckpt_at:
         checkpoint.save_state(ckpt_path, vo.state)
     vo.state = vo._chunk_step(vo.state, ls, rs)
+    if refiner is not None and (c + 1) % args.refine_every == 0:
+        vo.state, acc = refiner(vo.state)
+        refine_calls += 1
     if c in (0, n_chunks - 1) or c % 25 == 24:
         jax.block_until_ready(vo.state.pose)
         hw["n_points"] = max(hw["n_points"], int(vo.state.map.n_points))
@@ -113,6 +145,8 @@ for c in range(n_chunks):
                 f"obs_cursor={hw['obs_cursor']}")
     else:
         compute_s += time.perf_counter() - t0
+    if refiner is not None and (c + 1) % args.refine_every == 0:
+        refine_accepts += int(np.asarray(acc))
 jax.block_until_ready(vo.state.pose)
 
 n = 1 + n_chunks * CH
@@ -121,6 +155,26 @@ gt = seq.gt_poses[:n]
 traveled = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum())
 ate = ate_rmse(est, gt)
 rpe_t, rpe_r = rpe(est, gt)
+
+# drift curve: unaligned position error + accumulated yaw error at
+# checkpoints (where along the run does the error build?)
+drift_curve = []
+for f in range(0, n, max(1, n // 12)):
+    perr = float(np.linalg.norm(est[f, :3, 3] - gt[f, :3, 3]))
+    Rerr = est[f, :3, :3] @ gt[f, :3, :3].T
+    ang = float(np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1))))
+    drift_curve.append({"frame": f, "pos_err_m": round(perr, 2),
+                        "rot_err_deg": round(ang, 3)})
+
+# per-frame health from the device metrics table
+mrows = np.asarray(vo.state.metrics[1:n])
+health = {
+    "tracked_min": int(mrows[:, 0].min()),
+    "tracked_p5": int(np.percentile(mrows[:, 0], 5)),
+    "tracked_mean": round(float(mrows[:, 0].mean()), 1),
+    "inlier_ratio_min": round(float(mrows[:, 1].min()), 3),
+    "inlier_ratio_p5": round(float(np.percentile(mrows[:, 1], 5)), 3),
+}
 hw["n_points"] = max(hw["n_points"], int(vo.state.map.n_points))
 hw["obs_cursor"] = max(hw["obs_cursor"], int(vo.state.map.obs_cursor))
 log(f"soak done: ATE {ate:.3f} m over {traveled:.0f} m, "
@@ -135,10 +189,16 @@ r_chunks = min(args.resume_chunks, n_chunks - ckpt_at)
 for c in range(ckpt_at, ckpt_at + r_chunks):
     ls, rs = render_chunk(c)
     vo2.state = vo2._chunk_step(vo2.state, ls, rs)
+    if refiner is not None and (c + 1) % args.refine_every == 0:
+        vo2.state, _ = refiner(vo2.state)
 jax.block_until_ready(vo2.state.pose)
 n_res = 1 + (ckpt_at + r_chunks) * CH
+# with refinement on, the MAIN run's later refine calls retroactively
+# adjust poses up to one refine span behind the rerun's stopping point —
+# exclude that tail from the equivalence window (not nondeterminism)
+n_cmp = n_res - (36 if args.refine_every else 0)
 resume_err = float(
-    np.abs(np.asarray(vo2.state.poses[:n_res]) - est[:n_res]).max()
+    np.abs(np.asarray(vo2.state.poses[:n_cmp]) - est[:n_cmp]).max()
 )
 log(f"resume equivalence over {r_chunks} chunks: max |diff| {resume_err:.2e}")
 
@@ -172,8 +232,19 @@ result = {
         "max_pose_diff": resume_err,
         "equivalent": bool(resume_err < 1e-5),
     },
+    # NOTE: this environment reaches the TPU through a network tunnel and
+    # frames stream per chunk (~11 MB each), so this number is dominated by
+    # host->device transfer, not device compute — bench.py (pre-staged
+    # chunks) measures the chip's throughput.
     "fps_excl_render": round((n - 1) / compute_s, 1) if compute_s else None,
     "finite": bool(np.isfinite(est).all()),
+    "drift_curve": drift_curve,
+    "health": health,
+    "refine": {
+        "every_chunks": args.refine_every,
+        "calls": refine_calls,
+        "accepted": refine_accepts,
+    } if args.refine_every else None,
 }
 out = args.out or os.path.join(REPO, "SOAK_r03.json")
 with open(out, "w") as f:
