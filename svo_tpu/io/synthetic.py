@@ -53,14 +53,22 @@ def default_world(rng) -> list[Plane]:
     ]
 
 
-def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.0015) -> np.ndarray:
-    """(F,4,4) camera-to-world poses: forward motion with gentle yaw wobble."""
+def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06) -> np.ndarray:
+    """(F,4,4) camera-to-world poses: forward motion with a ZERO-MEAN yaw
+    wobble (yaw = yaw_amp * sin(0.05 i)).
+
+    The original formulation integrated the wobble (yaw += amp*sin(...)),
+    which has a positive-mean integral — a constant ~1.7 deg heading bias
+    that walked the camera laterally THROUGH the corridor wall at x=10 by
+    frame ~1100 of a long run; from outside the corridor half the image is
+    textureless sky and every VO pipeline (this one AND the
+    reference-equivalent CPU one) collapsed identically. Zero-mean yaw keeps
+    the same per-frame wobble magnitude while the lateral excursion stays
+    bounded at ~±0.4 m for any sequence length."""
     poses = np.zeros((n_frames, 4, 4))
-    yaw = 0.0
     pos = np.zeros(3)
-    heading = np.array([0.0, 0.0, 1.0])
     for i in range(n_frames):
-        yaw += yaw_amp * np.sin(i * 0.05)
+        yaw = yaw_amp * np.sin(i * 0.05)
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         poses[i] = np.eye(4)
