@@ -115,9 +115,9 @@ def main():
     skip_ref = bool(os.environ.get("BENCH_SKIP_REF"))
     if skip_ref:
         ref_fps = cpu_agg_fps = 0.0
-        # last measured reference ATE on this sequence (fwd; reversed was
-        # 0.319), for the logs only — full runs remeasure it
-        ex["ref_ate_m"] = 0.2727
+        # no reference ATE in skip mode — full runs measure it; a hardcoded
+        # value here would silently go stale when the world/params change
+        ex["ref_ate_m"] = None
         _log("BENCH_SKIP_REF set: skipping reference CPU stages")
     else:
         from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline

@@ -212,7 +212,7 @@ result = {
     "ate_m": round(ate, 4),
     "ate_pct_of_traveled": round(100.0 * ate / traveled, 3),
     "rpe_trans_m": round(rpe_t, 4),
-    "rpe_rot_deg": round(rpe_r, 4),
+    "rpe_rot_deg": round(float(np.degrees(rpe_r)), 4),
     "traveled_m": round(traveled, 1),
     "capacity": {
         "points_used": hw["n_points"],

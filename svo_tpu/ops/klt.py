@@ -245,10 +245,17 @@ def _track_impl(
         # feature anywhere inside the true image never hits the corner clamp
         p_pad = p_lvl + jnp.asarray([_PAD_X, _PAD_Y], p_lvl.dtype)
 
-        if _use_pallas(H, W, py) and _FUSED_LK:
+        if _use_pallas(H, W, py) and _FUSED_LK and margin_x <= 6:
             # --- fused LK level: extraction + template sampling + all
             # iterations inside one Pallas kernel (ops/lk_pallas.py);
-            # outputs only flow + flags, no patch materialization ---
+            # outputs only flow + flags, no patch materialization.
+            # margin_x guard: the kernel hardcodes a 6 px margin / 12 px
+            # travel budget; the stereo tracker (margin_x=16 for disparity)
+            # falls back to the extraction+XLA path rather than silently
+            # shrinking its search range (ADVICE r03).
+            # NOTE positions of status=False features are unspecified here
+            # (the kernel freezes them at the guess; the XLA path keeps
+            # iterating) — consumers must mask by status. ---
             from svo_tpu.ops.lk_pallas import lk_track_level
 
             d, min_eig, solvable, in_fin = lk_track_level(

@@ -28,7 +28,14 @@ def _topk_rounds(cells: jnp.ndarray, k: int) -> tuple[jnp.ndarray, jnp.ndarray]:
     (cells, cell_pixels) table at 8 streams (measured; it was the single
     most expensive op of a keyframe step). For k << P, k rounds of
     (row-max, first-argmax, mask-out) are pure VPU reductions, ~15x
-    cheaper. Tie order matches lax.top_k (first index wins)."""
+    cheaper. Tie order matches lax.top_k (first index wins).
+
+    Contract difference vs lax.top_k for EXHAUSTED rows (fewer than k
+    entries above -inf): once a row runs out, every remaining round
+    returns the SAME index (the row's first -inf slot) with value -inf,
+    where top_k would return k distinct indices. Callers must therefore
+    filter by value (bucketed_topk keeps `top_scores > 0`), not assume
+    index uniqueness."""
     P = cells.shape[-1]
     iota = jax.lax.broadcasted_iota(jnp.int32, cells.shape, cells.ndim - 1)
     work = cells
