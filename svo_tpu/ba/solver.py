@@ -273,3 +273,119 @@ def solve_ba(
         cost=cost,
         n_obs=_allreduce(jnp.sum(ov.astype(jnp.int32))),
     )
+
+
+@partial(jax.jit, static_argnames=("rounds", "n_fixed"))
+def refine_alternate(
+    problem: BAProblem,
+    K_mat: jnp.ndarray,
+    baseline_fx: jnp.ndarray,
+    rounds: int = 6,
+    n_fixed: int = 1,
+    huber_delta: float = 5.0,
+    reject_threshold: float = 20.0,
+) -> BAResult:
+    """Alternating resection-intersection refinement (round-4 conservative
+    back-end path).
+
+    Joint pose+point BA can transport both variable sets coherently along
+    weakly observable modes — reprojection cost drops while the trajectory
+    walks away from truth (the r03 refined-bench regression). Alternation
+    makes that move impossible BY CONSTRUCTION: each half-step optimizes one
+    variable set against the other held FIXED, so every accepted update is
+    anchored.
+
+    - intersection: per-point damped GN on the 3x3 normal system (points
+      against fixed poses) — multi-view re-triangulation, which also removes
+      one-shot stereo triangulation depth bias;
+    - resection: per-camera damped GN on the 6x6 normal system (poses
+      against the fixed map) — each camera is an independent PnP polish.
+
+    Both half-steps are embarrassingly parallel batched small solves (no
+    Schur system, no cross-camera coupling) and each is accepted only if the
+    shared robust objective decreases, so the sequence is monotone.
+    Convergence on long-wavelength modes is deliberately slower than joint
+    LM — those are exactly the modes that slide."""
+    from svo_tpu.ops.linalg import inv3x3
+
+    Kc = problem.T_cw.shape[0]
+    P = problem.points.shape[0]
+    obs_cam = jnp.clip(problem.obs_cam, 0, Kc - 1)
+    obs_pnt = jnp.clip(problem.obs_pnt, 0, P - 1)
+    ov = problem.obs_valid & problem.cam_valid[obs_cam] & problem.pnt_valid[obs_pnt]
+    fixed_mask = (jnp.arange(Kc) < n_fixed) | (~problem.cam_valid)
+
+    def cost_at(T_cw, points):
+        r, _, _ = _residuals(
+            K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
+        )
+        _, c = _robust_weights(r, ov, huber_delta, reject_threshold)
+        return c
+
+    def point_step(T_cw, points):
+        r, _, J_p = _residuals(
+            K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
+        )
+        w, _ = _robust_weights(r, ov, huber_delta, reject_threshold)
+        wJ = J_p * w[:, None, None]
+        Hpp = jnp.zeros((P, 3, 3), r.dtype).at[obs_pnt].add(
+            jnp.einsum("oik,oil->okl", wJ, J_p)
+        )
+        bp = jnp.zeros((P, 3), r.dtype).at[obs_pnt].add(
+            jnp.einsum("oik,oi->ok", wJ, r)
+        )
+        Hd = Hpp + 1e-6 * jnp.eye(3, dtype=r.dtype) + 1e-3 * jnp.eye(
+            3, dtype=r.dtype
+        ) * jnp.einsum("pii->p", Hpp)[:, None, None] / 3.0
+        dp = -jnp.einsum("pij,pj->pi", inv3x3(Hd), bp)
+        dp = jnp.where(
+            problem.pnt_valid[:, None] & jnp.all(jnp.isfinite(dp), -1, keepdims=True),
+            dp, 0.0,
+        )
+        return points + dp
+
+    def pose_step(T_cw, points):
+        r, J_c, _ = _residuals(
+            K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
+        )
+        w, _ = _robust_weights(r, ov, huber_delta, reject_threshold)
+        wJ = J_c * w[:, None, None]
+        Hcc = jnp.zeros((Kc, 6, 6), r.dtype).at[obs_cam].add(
+            jnp.einsum("oik,oil->okl", wJ, J_c)
+        )
+        bc = jnp.zeros((Kc, 6), r.dtype).at[obs_cam].add(
+            jnp.einsum("oik,oi->ok", wJ, r)
+        )
+        Hd = Hcc + 1e-6 * jnp.eye(6, dtype=r.dtype) + 1e-3 * jnp.eye(
+            6, dtype=r.dtype
+        ) * jnp.einsum("kii->k", Hcc)[:, None, None] / 6.0
+        dc = -jnp.linalg.solve(Hd, bc[..., None])[..., 0]
+        dc = jnp.where(
+            fixed_mask[:, None] | ~jnp.all(jnp.isfinite(dc), -1, keepdims=True),
+            0.0, dc,
+        )
+        return se3.compose(se3.exp(dc), T_cw)
+
+    def round_body(carry, _):
+        T_cw, points, cost = carry
+        pts_new = point_step(T_cw, points)
+        c1 = cost_at(T_cw, pts_new)
+        ok1 = jnp.isfinite(c1) & (c1 <= cost)
+        points = jnp.where(ok1, pts_new, points)
+        cost = jnp.where(ok1, c1, cost)
+
+        T_new = pose_step(T_cw, points)
+        c2 = cost_at(T_new, points)
+        ok2 = jnp.isfinite(c2) & (c2 <= cost)
+        T_cw = jnp.where(ok2, T_new, T_cw)
+        cost = jnp.where(ok2, c2, cost)
+        return (T_cw, points, cost), None
+
+    cost0 = cost_at(problem.T_cw, problem.points)
+    (T_cw, points, cost), _ = jax.lax.scan(
+        round_body, (problem.T_cw, problem.points, cost0), None, length=rounds
+    )
+    return BAResult(
+        T_cw=T_cw, points=points, cost0=cost0, cost=cost,
+        n_obs=jnp.sum(ov.astype(jnp.int32)),
+    )

@@ -36,8 +36,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from svo_tpu.ba.solver import solve_ba
-from svo_tpu.ba.window import extract_window
+from svo_tpu.ba.solver import refine_alternate, solve_ba
+from svo_tpu.ba.window import extract_window, write_back
 from svo_tpu.ba.pose_graph import PoseGraph, optimize_pose_graph
 from svo_tpu.geometry import se3
 from svo_tpu.pipeline.state import MapState
@@ -112,24 +112,59 @@ def refine_global(
     pg_iterations: int = 10,
     huber_delta: float = 5.0,
     reject_threshold: float = 100.0,
+    recover_cost_per_obs: float = 10.0,
 ) -> RefineResult:
-    """Block-partitioned BA + pose-graph consensus on the live state.
+    """Two-regime global refinement on the live state (round-4 redesign).
+
+    CONSERVATIVE regime (the default, when the span is self-consistent —
+    mean initial robust cost per observation <= recover_cost_per_obs):
+    alternating resection-intersection over the WHOLE span
+    (ba.solver.refine_alternate). Point polish removes one-shot stereo
+    triangulation bias; pose polish is per-camera PnP against the fixed map.
+    Gauge-sliding transport is structurally impossible, so a good trajectory
+    is never degraded (the r03 regression).
+
+    AGGRESSIVE regime (localization failure — large reprojection errors
+    against the span's own map): keyframe-block partitioned BA + chained
+    re-init + pose-graph consensus, which can rebuild a heavily drifted span
+    that local descent cannot reach.
 
     reject_threshold defaults WIDER than the in-pipeline window BA (100 px vs
-    20): global refinement runs on drifted trajectories whose reprojection
-    errors legitimately exceed the online outlier cutoff; a tight cutoff
-    zeroes every robust weight and freezes LM in a zero-gradient plateau.
+    20): recovery runs on broken spans whose reprojection errors legitimately
+    exceed the online outlier cutoff; a tight cutoff zeroes every robust
+    weight and freezes LM in a zero-gradient plateau. The conservative path
+    uses the tighter min(reject, 20) — a self-consistent span has sub-pixel
+    residuals and a wide cutoff only lets mistracks drag the polish.
 
     The vmapped per-block solve is embarrassingly parallel over blocks; under
     a mesh the natural sharding is one block per device
     (refine_global_sharded runs exactly that with shard_map).
     """
+    span = block_span(n_blocks, cams_per_block)
+    P_full = n_points * n_blocks
+    O_full = n_obs * n_blocks
+
+    # --- conservative candidate: full-span alternation ---
+    full_prob, full_map = extract_window(
+        mp, poses_wc, frame_hi, n_cams=span, n_points=P_full, n_obs=O_full
+    )
+    alt = refine_alternate(
+        full_prob, K_mat, baseline_fx, rounds=ba_iterations // 2 + 2,
+        n_fixed=1, huber_delta=huber_delta,
+        reject_threshold=min(reject_threshold, 20.0),
+    )
+    alt_ok = jnp.isfinite(alt.cost) & (alt.cost <= alt.cost0)
+    cons_mp, cons_poses = write_back(
+        mp, poses_wc, full_map,
+        jnp.where(alt_ok, alt.T_cw, full_prob.T_cw),
+        jnp.where(alt_ok, alt.points, full_prob.points),
+        full_prob.pnt_valid, full_prob.cam_valid,
+    )
+
+    # --- aggressive candidate: block BA + consensus ---
     problems, mappings = extract_blocks(
         mp, poses_wc, frame_hi, n_blocks, cams_per_block, n_points, n_obs
     )
-
-    # per-block BA (independent problems; each anchors its own first camera,
-    # keeping the block in the global frame)
     res = jax.vmap(
         lambda p: solve_ba(
             p, K_mat, baseline_fx,
@@ -137,15 +172,23 @@ def refine_global(
             reject_threshold=reject_threshold,
         )
     )(problems)
-
-    cand_mp, cand_poses, frame_lo, pg = _consensus_and_writeback(
+    agg_mp, agg_poses, frame_lo, pg = _consensus_and_writeback(
         mp, poses_wc, frame_hi, problems, mappings, res,
         n_blocks, cams_per_block, pg_iterations,
     )
+
+    # --- regime selection: is the span consistent with its own map? ---
+    aggressive = alt.cost0 > recover_cost_per_obs * jnp.maximum(
+        alt.n_obs, 1
+    ).astype(alt.cost0.dtype)
+    cand_mp = mp._replace(
+        points=jnp.where(aggressive, agg_mp.points, cons_mp.points)
+    )
+    cand_poses = jnp.where(aggressive, agg_poses, cons_poses)
     return _gated_result(
         mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
-        K_mat, baseline_fx, block_span(n_blocks, cams_per_block),
-        n_points * n_blocks, n_obs * n_blocks, huber_delta, reject_threshold,
+        K_mat, baseline_fx, span, P_full, O_full, huber_delta,
+        reject_threshold,
     )
 
 
@@ -163,8 +206,9 @@ def refine_global_sharded(
 
     The block extraction + BA runs under shard_map with each device owning
     its (1, ...) block slice of the problem; the small pose-graph consensus
-    is replicated (it is O(B*C) poses — cheap). MapState and the trajectory
-    are replicated inputs; only the per-block BA work is distributed."""
+    and the conservative full-span alternation are replicated (O(span)
+    poses + batched small solves — cheap). MapState and the trajectory are
+    replicated inputs; only the per-block BA work is distributed."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     n_blocks = mesh.shape[axis]
@@ -175,7 +219,27 @@ def refine_global_sharded(
     pg_iterations = kw.pop("pg_iterations", 10)
     huber_delta = kw.pop("huber_delta", 5.0)
     reject_threshold = kw.pop("reject_threshold", 100.0)
+    recover_cost_per_obs = kw.pop("recover_cost_per_obs", 10.0)
     C = kw["cams_per_block"]
+
+    span = block_span(n_blocks, C)
+    P_full = kw["n_points"] * n_blocks
+    O_full = kw["n_obs"] * n_blocks
+    full_prob, full_map = extract_window(
+        mp, poses_wc, frame_hi, n_cams=span, n_points=P_full, n_obs=O_full
+    )
+    alt = refine_alternate(
+        full_prob, K_mat, baseline_fx, rounds=ba_iterations // 2 + 2,
+        n_fixed=1, huber_delta=huber_delta,
+        reject_threshold=min(reject_threshold, 20.0),
+    )
+    alt_ok = jnp.isfinite(alt.cost) & (alt.cost <= alt.cost0)
+    cons_mp, cons_poses = write_back(
+        mp, poses_wc, full_map,
+        jnp.where(alt_ok, alt.T_cw, full_prob.T_cw),
+        jnp.where(alt_ok, alt.points, full_prob.points),
+        full_prob.pnt_valid, full_prob.cam_valid,
+    )
 
     problems, mappings = extract_blocks(
         mp, poses_wc, frame_hi, n_blocks, C, kw["n_points"], kw["n_obs"]
@@ -203,14 +267,20 @@ def refine_global_sharded(
         )
     )(problems_sh)
 
-    cand_mp, cand_poses, frame_lo, pg = _consensus_and_writeback(
+    agg_mp, agg_poses, frame_lo, pg = _consensus_and_writeback(
         mp, poses_wc, frame_hi, problems, mappings, res,
         n_blocks, C, pg_iterations,
     )
+    aggressive = alt.cost0 > recover_cost_per_obs * jnp.maximum(
+        alt.n_obs, 1
+    ).astype(alt.cost0.dtype)
+    cand_mp = mp._replace(
+        points=jnp.where(aggressive, agg_mp.points, cons_mp.points)
+    )
+    cand_poses = jnp.where(aggressive, agg_poses, cons_poses)
     return _gated_result(
         mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
-        K_mat, baseline_fx, block_span(n_blocks, C),
-        kw["n_points"] * n_blocks, kw["n_obs"] * n_blocks,
+        K_mat, baseline_fx, span, P_full, O_full,
         huber_delta, reject_threshold,
     )
 
@@ -292,7 +362,7 @@ def _consensus_and_writeback(
     edge_T = jnp.concatenate([edge_T, prior_T])
     edge_w = jnp.concatenate([edge_w, prior_w])
 
-    # --- initialize nodes by CHAINING the clean edges from the gauge node.
+    # --- candidate init #2: CHAIN the clean edges from the gauge node.
     # LM alone cannot travel from a heavily drifted init to the corrected
     # chain in a few damped steps (each step is trust-region limited); the
     # chain composition is the exact minimizer of the odometry-only graph and
@@ -312,13 +382,32 @@ def _consensus_and_writeback(
         return T, T
 
     _, chained = jax.lax.scan(chain_step, node_T[0], chain_rel)
-    init_T = jnp.concatenate([node_T[:1], chained], axis=0)
+    chain_T = jnp.concatenate([node_T[:1], chained], axis=0)
 
-    graph = PoseGraph(
-        T_wc=init_T, node_valid=node_valid,
-        edge_i=edge_i, edge_j=edge_j, edge_T=edge_T, edge_w=edge_w,
-    )
-    pg = optimize_pose_graph(graph, iterations=pg_iterations, n_fixed=1)
+    # Init SELECTION (round-4 fix for the bench refined-pass regression):
+    # the chain exactly fits the block edges, so on an already-good
+    # trajectory it re-injects every block solve's noise, compounded over
+    # the span — the measured 0.07 -> 0.25 m forward-stream degradation.
+    # Start LM from whichever init has the lower GRAPH cost (block edges +
+    # down-weighted odometry priors): a good incoming trajectory wins and
+    # LM only polishes it; a heavily drifted one loses to the chain, which
+    # restores the recovery capability the chain was built for.
+    def graph_at(T):
+        return PoseGraph(
+            T_wc=T, node_valid=node_valid,
+            edge_i=edge_i, edge_j=edge_j, edge_T=edge_T, edge_w=edge_w,
+        )
+
+    def graph_cost(T):
+        from svo_tpu.ba.pose_graph import _edge_residuals
+
+        r, w = _edge_residuals(T, graph_at(T))
+        return jnp.sum(w * jnp.sum(r * r, axis=-1))
+
+    use_chain = graph_cost(chain_T) < graph_cost(node_T)
+    init_T = jnp.where(use_chain, chain_T, node_T)
+
+    pg = optimize_pose_graph(graph_at(init_T), iterations=pg_iterations, n_fixed=1)
     pg_ok = pg.cost <= pg.cost0
     node_T_new = jnp.where(pg_ok, pg.T_wc, init_T)
 
@@ -349,11 +438,23 @@ def _gated_result(
     mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
     K_mat, baseline_fx, span, n_points, n_obs, huber_delta, reject_threshold,
 ):
-    """Accept the refined (map, poses) only if the span-wide robust
-    reprojection cost does not increase — refinement is 'improvement or
-    parity', never regression (the BA objective is the arbiter; on a
-    trajectory the front-end already nailed, block re-solves + chaining can
-    only add noise, and this gate keeps the original)."""
+    """Accept the refined (map, poses) only if BOTH span-cost checks pass:
+
+    (a) cost(cand poses, cand points) <= cost(orig) — the BA objective
+        itself must not regress; and
+    (b) cost(cand poses, ORIGINAL points) <= 2x cost(orig) — the round-4
+        anti-gauge-slide check. A block re-solve (or the chained re-init)
+        can transport poses AND points coherently along weakly observable
+        modes: reprojection cost stays low while the trajectory walks away
+        from truth, which is exactly how the r03 bench's refined pass
+        degraded good forward streams 0.07 -> 0.25 m while satisfying
+        check (a). Scoring the candidate poses against the UNMOVED map
+        breaks that coherence: transported poses lose consistency with the
+        original points in proportion to how far they moved, so large
+        transports fail (b) while genuine local polish (poses nearly
+        unchanged, points re-triangulated) passes with cost1b ~ cost0. The
+        2x slack admits moderate true corrections whose pose updates
+        legitimately disagree with the stale map."""
     cost0 = _span_cost(
         mp, poses_wc, frame_hi, K_mat, baseline_fx,
         span, n_points, n_obs, huber_delta, reject_threshold,
@@ -362,7 +463,14 @@ def _gated_result(
         cand_mp, cand_poses, frame_hi, K_mat, baseline_fx,
         span, n_points, n_obs, huber_delta, reject_threshold,
     )
-    accept = jnp.isfinite(cost1) & (cost1 <= cost0)
+    cost1b = _span_cost(
+        mp, cand_poses, frame_hi, K_mat, baseline_fx,
+        span, n_points, n_obs, huber_delta, reject_threshold,
+    )
+    accept = (
+        jnp.isfinite(cost1) & (cost1 <= cost0)
+        & jnp.isfinite(cost1b) & (cost1b <= 2.0 * cost0)
+    )
     out_points = jnp.where(accept, cand_mp.points, mp.points)
     out_poses = jnp.where(accept, cand_poses, poses_wc)
     return RefineResult(

@@ -22,7 +22,8 @@ def _rot_y(a):
 
 
 def make_drifted_state(rng, n_frames=25, n_pts=320, obs_per_frame=48,
-                       drift_rot=0.002, drift_trans=0.01):
+                       drift_rot=0.002, drift_trans=0.01,
+                       obs_noise=0.2, pnt_noise=0.05):
     """Pipeline-shaped (MapState, poses) with ground truth:
 
     - GT: gentle forward arc; landmarks scattered ahead of the path.
@@ -74,8 +75,9 @@ def make_drifted_state(rng, n_frames=25, n_pts=320, obs_per_frame=48,
         rng.shuffle(ids)
         ids = ids[:obs_per_frame]
         for p in ids:
-            du = rng.normal(0, 0.2)
-            obs_uv.append([u[p] + du, v[p] + rng.normal(0, 0.2),
+            du = rng.normal(0, obs_noise) if obs_noise else 0.0
+            dv = rng.normal(0, obs_noise) if obs_noise else 0.0
+            obs_uv.append([u[p] + du, v[p] + dv,
                            u[p] + du - FX * BASE / z[p]])
             obs_pid.append(p)
             obs_fid.append(f)
@@ -88,7 +90,9 @@ def make_drifted_state(rng, n_frames=25, n_pts=320, obs_per_frame=48,
     fid[:n_o] = obs_fid
 
     points = np.zeros((M, 3), np.float32)
-    points[:n_pts] = pts + rng.normal(0, 0.05, pts.shape)
+    points[:n_pts] = pts + (
+        rng.normal(0, pnt_noise, pts.shape) if pnt_noise else 0.0
+    )
 
     mp = MapState(
         points=jnp.asarray(points),
@@ -132,6 +136,50 @@ def test_refine_improves_drifted_trajectory(rng):
         f"refine did not help: {ate_before:.3f} -> {ate_after:.3f}"
     )
     assert int(res.frame_lo) == 0
+
+
+def test_refine_near_gt_trajectory_is_noop(rng):
+    """Round-4 regression test (VERDICT r03 item 2): on a trajectory the
+    front-end already nailed, refinement must not move it — the r03 gate
+    accepted gauge-slid candidates (poses+points transported coherently,
+    span cost still low) and degraded good bench streams 0.07 -> 0.25 m."""
+    n = global_opt.block_span(4, 7)
+
+    # exact fixture: GT poses, GT points, noiseless observations — ANY
+    # trajectory movement is transport/injection, not re-estimation
+    mp, poses, gt, est = make_drifted_state(
+        rng, n_frames=n, drift_rot=0.0, drift_trans=0.0,
+        obs_noise=0.0, pnt_noise=0.0,
+    )
+    assert _ate(est[:n], gt[:n]) < 1e-5  # est IS gt here
+
+    res = global_opt.refine_global(
+        mp, poses, jnp.int32(n - 1),
+        jnp.asarray(K_MAT), jnp.float32(FX * BASE),
+        n_blocks=4, cams_per_block=7, n_points=512, n_obs=2048,
+        ba_iterations=14, pg_iterations=10,
+    )
+    out = np.asarray(res.poses[:n])
+    assert _ate(out, gt[:n]) < 2e-4, (
+        f"refine moved an exact trajectory: {_ate(out, gt[:n])}"
+    )
+    max_shift = float(np.abs(out[:, :3, 3] - est[:n, :3, 3]).max())
+    assert max_shift < 2e-4, f"pose translation moved {max_shift} m"
+
+    # noisy fixture (0.2 px obs / 5 cm point noise): movement must stay at
+    # the re-estimation noise floor, never transport-scale
+    mp2, poses2, gt2, est2 = make_drifted_state(
+        rng, n_frames=n, drift_rot=0.0, drift_trans=0.0
+    )
+    res2 = global_opt.refine_global(
+        mp2, poses2, jnp.int32(n - 1),
+        jnp.asarray(K_MAT), jnp.float32(FX * BASE),
+        n_blocks=4, cams_per_block=7, n_points=512, n_obs=2048,
+        ba_iterations=14, pg_iterations=10,
+    )
+    out2 = np.asarray(res2.poses[:n])
+    ate2 = _ate(out2, gt2[:n])
+    assert ate2 < 2e-2, f"refine degraded a near-GT trajectory: {ate2}"
 
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 devices")
