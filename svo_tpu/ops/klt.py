@@ -245,14 +245,19 @@ def _track_impl(
         # feature anywhere inside the true image never hits the corner clamp
         p_pad = p_lvl + jnp.asarray([_PAD_X, _PAD_Y], p_lvl.dtype)
 
-        if _use_pallas(H, W, py) and _FUSED_LK and margin_x <= 6:
+        fused_ok = (
+            _use_pallas(H, W, py)
+            and _FUSED_LK
+            and py >= w + 2 * _MY           # y-taps must stay in the band
+            and 64 >= w + 2 * margin_x + 1  # lk_pallas._PX tap budget
+        )
+        if fused_ok:
             # --- fused LK level: extraction + template sampling + all
             # iterations inside one Pallas kernel (ops/lk_pallas.py);
-            # outputs only flow + flags, no patch materialization.
-            # margin_x guard: the kernel hardcodes a 6 px margin / 12 px
-            # travel budget; the stereo tracker (margin_x=16 for disparity)
-            # falls back to the extraction+XLA path rather than silently
-            # shrinking its search range (ADVICE r03).
+            # outputs only flow + flags, no patch materialization. The
+            # kernel takes per-axis margins, so the stereo matcher's wide
+            # negative-x disparity budget (margin_x=16) runs fused too
+            # (ADVICE r03 resolved).
             # NOTE positions of status=False features are unspecified here
             # (the kernel freezes them at the guess; the XLA path keeps
             # iterating) — consumers must mask by status. ---
@@ -262,6 +267,7 @@ def _track_impl(
                 img_prev, gx, gy, img_curr, p_pad, guess, status,
                 window=w, py=py, max_iters=max_iters, eps=eps,
                 min_eig_threshold=min_eig_threshold,
+                margin_x=margin_x, margin_y=_MY,
             )
             status = status & solvable
             min_eig_out = jnp.where(level == 0, min_eig, min_eig_out)

@@ -1,33 +1,48 @@
-"""Fused Pallas TPU kernel: one pyramidal-LK LEVEL per launch.
+"""Fused Pallas TPU kernel: one pyramidal-LK LEVEL per launch (2-D layout).
 
 The round-2 design (ops/klt_pallas.py) used Pallas only for patch
 EXTRACTION: each level materialized four (N, py, px) patch tensors to HBM
 (~25 MB per call at 8 streams) and the LK math ran as ~150 small XLA ops per
 step (one-hot blend einsums + iteration bookkeeping), whose per-op dispatch
-overhead dominated the profile. This kernel fuses the whole level:
+overhead dominated the profile (docs/perf_notes.md: ~2,900 device ops/step,
+~10-13 ms dispatch floor). This kernel fuses the whole level:
 
-    load + roll patches into VMEM scratch      (as before, no HBM writes)
-    sample template T and gradients Tx, Ty     (2-tap separable blend)
+    load + roll patches into VMEM scratch      (no HBM patch writes)
+    sample template T and gradients Tx, Ty     (separable hat-tap blend)
     normal matrix G, min-eigenvalue gate       (batched over the block)
     max_iters LK updates                       (in-VMEM, batched)
     output (N, 8) floats                       (d, flags — KBs, not MBs)
 
-Key geometry change vs the extraction kernel: patches are rolled in BOTH
-axes so each window's integer corner lands at a fixed margin row/col. The
-iteration then samples at offsets o in [0, R] via a SEPARABLE HAT-TAP blend:
+2-D LAYOUT (round-4 reformulation): the round-3 kernel held patches as
+(BF, py, px) 3-D scratch and sampled with static 3-D value slices — which
+SIGABRT this environment's Mosaic compiler (docs/mosaic_limits.md #1). Here
+features fold into SUBLANE ROWS: scratch is (BF*py + 64, px) 2-D, feature k
+owns rows [k*py, (k+1)*py). Everything the 3-D kernel expressed with 3-D
+slices becomes:
 
-    Iw(o) = sum_j hat(o_y - j) * [ sum_i hat(o_x - i) * P[:, j:j+w, i:i+w] ]
+- x taps: 2-D lane slices  scr[:, i:i+w]                       (probe T7 ok)
+- y taps: GLOBAL row-shifted 2-D slices  A[j : j+BF*py]  — the +64 scratch
+  row pad makes every shift in-bounds; a shift never crosses into the next
+  feature's band for valid output rows because py >= w + taps - 2
+- per-feature weights: per-ROW weight columns (L, 1) built by expanding
+  (BF, 1) feature values through a selector matmul  E @ v, with
+  E[r, f] = [f*py <= r < (f+1)*py]  — a pure iota comparison, no gather
+- per-feature reductions: lane row-sum then a selector matmul  S @ rowsum,
+  with S[f, r] = [0 <= r - f*py < w]  (also masks the garbage rows yy >= w)
 
-with hat(t) = max(0, 1 - |t|) — exactly bilinear interpolation, but the
-slices are STATIC (batched over the 32-feature block, pure VPU work) and the
-per-feature fractional+integer offset lives entirely in the weights. Travel
-beyond R px from the initial guess marks the feature lost (the XLA path
-allows ~13 px before its patch clamp binds; R=12 loses only tracks the
-fb-check/RANSAC would reject anyway).
+The per-feature fractional+integer offset lives entirely in the hat weights
+hat(t) = max(0, 1 - |t|) — exactly bilinear interpolation with static
+slices. Iteration travel beyond (2*margin) px from the initial guess marks
+the feature lost (the XLA path allows ~13 px before its patch clamp binds;
+the default margins lose only tracks the fb-check/RANSAC would reject
+anyway). Margins are PER-AXIS so the stereo matcher's wide negative-x
+disparity budget (margin_x=16, KltParams.margin_x) gets real kernel support
+instead of silently shrinking (ADVICE r03).
 
 Alignment contract (same as klt_pallas.py): row loads from sublane-aligned
 corners, 256-lane spans from lane-aligned corners, both corrected by
-pltpu.roll with dynamic shifts.
+pltpu.roll with dynamic shifts; scratch bands start at k*py with py a
+multiple of 8.
 
 Reference anchor: cv::calcOpticalFlowPyrLK per-level loop (reference
 src/tracking.cpp:98-105, 157-164); numerics mirror ops/klt.py's XLA path
@@ -46,16 +61,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 _BF = 32         # features per grid step
 _PX = 64         # patch cols held in scratch (loads are 256-lane spans)
-_TT = 14         # hat taps: iteration offsets o in [0, R], R = _TT - 2
-_MARGIN = 6      # initial integer corner sits at (margin, margin)
+_PAD_ROWS = 64   # scratch row pad so every y-tap shift slices in-bounds
+_TT_T = 4        # template taps: exact-corner offsets are < 1 except at
+#                  image-border clamps, where the feature dies anyway
 
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
             out_ref, *,
-            bf, py, px, wt, iw, ht, w, n_total, batched, max_iters, eps,
-            min_eig_threshold, t_scr, gx_scr, gy_scr, c_scr):
+            bf, py, px, wt, iw, ht, w, mx, my, n_total, batched, max_iters,
+            eps, min_eig_threshold, t_scr, gx_scr, gy_scr, c_scr):
     if batched:
         s = pl.program_id(0)
         blk = pl.program_id(1)
@@ -64,12 +80,16 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
         blk = pl.program_id(0)
         base = 0
     x0a_max = wt - 256
-    R = _TT - 2                    # max sample offset
-    half = (w - 1) / 2.0
+    ttx = 2 * mx + 2               # x iteration taps; travel Rx = 2*mx
+    tty = 2 * my + 2               # y iteration taps; travel Ry = 2*my
+    Rx, Ry = float(2 * mx), float(2 * my)
+    L = bf * py + _PAD_ROWS        # scratch rows
+    Lc = bf * py                   # y-shifted slice length
+    f32 = jnp.float32
 
     # ---- per-feature setup: load + roll all four patches to an EXACT
     # integer corner (template: floor of the window top-left; current:
-    # floor minus the travel margin), record fractional offsets ----
+    # floor minus the travel margins), zero dead slots and the row pad ----
     def setup(k, _):
         f = (base + blk * bf + k) * 6
         tx = flt_ref[f]            # template window top-left (x, y), float
@@ -81,8 +101,8 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
         @pl.when(live > 0)
         def _():
             def load(src, dst, y0, x0):
-                """Place src[y0:y0+py, x0:x0+px] at dst[k], rows/cols exact
-                (y0, x0 pre-clamped ints)."""
+                """Place src[y0:y0+py, x0:x0+px] at dst rows [k*py, ...),
+                rows/cols exact (y0, x0 pre-clamped ints)."""
                 y0a = pl.multiple_of((y0 // 8) * 8, 8)
                 x0a = pl.multiple_of(
                     jnp.minimum((x0 // 128) * 128, x0a_max), 128
@@ -90,15 +110,15 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
                 span = src[0, pl.ds(y0a, py), pl.ds(x0a, 256)]
                 span = pltpu.roll(span, -(y0 - y0a), 0)
                 span = pltpu.roll(span, -(x0 - x0a), 1)
-                dst[k] = span[:, :px]
+                dst[pl.ds(k * py, py), :] = span[:, :px]
 
             t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
             t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
             c_iy = jnp.clip(
-                jnp.floor(cy).astype(jnp.int32) - _MARGIN, 0, ht - py
+                jnp.floor(cy).astype(jnp.int32) - my, 0, ht - py
             )
             c_ix = jnp.clip(
-                jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, iw - px
+                jnp.floor(cx).astype(jnp.int32) - mx, 0, iw - px
             )
             load(prev_ref, t_scr, t_iy, t_ix)
             load(gx_ref, gx_scr, t_iy, t_ix)
@@ -109,83 +129,117 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
         def _():
             # dead slots still flow through the batched math below; zero
             # patches keep their G singular and every flag false
-            t_scr[k] = jnp.zeros((py, px), t_scr.dtype)
-            gx_scr[k] = jnp.zeros((py, px), t_scr.dtype)
-            gy_scr[k] = jnp.zeros((py, px), t_scr.dtype)
-            c_scr[k] = jnp.zeros((py, px), t_scr.dtype)
+            z = jnp.zeros((py, px), f32)
+            t_scr[pl.ds(k * py, py), :] = z
+            gx_scr[pl.ds(k * py, py), :] = z
+            gy_scr[pl.ds(k * py, py), :] = z
+            c_scr[pl.ds(k * py, py), :] = z
         return 0
 
     jax.lax.fori_loop(0, bf, setup, 0)
+    # zero the row pad once: pad rows feed (masked) y-tap sums of invalid
+    # output rows and must be finite
+    zpad = jnp.zeros((_PAD_ROWS, px), f32)
+    t_scr[pl.ds(bf * py, _PAD_ROWS), :] = zpad
+    gx_scr[pl.ds(bf * py, _PAD_ROWS), :] = zpad
+    gy_scr[pl.ds(bf * py, _PAD_ROWS), :] = zpad
+    c_scr[pl.ds(bf * py, _PAD_ROWS), :] = zpad
+
+    # ---- selector matrices (pure iota comparisons; no gather) ----
+    # E (L, bf): expand per-feature columns to per-row columns
+    rE = jax.lax.broadcasted_iota(jnp.int32, (L, bf), 0)
+    fE = jax.lax.broadcasted_iota(jnp.int32, (L, bf), 1)
+    E = ((rE >= fE * py) & (rE < (fE + 1) * py)).astype(f32)
+    # S (bf, Lc): reduce valid window rows (yy < w) back to features
+    fS = jax.lax.broadcasted_iota(jnp.int32, (bf, Lc), 0)
+    rS = jax.lax.broadcasted_iota(jnp.int32, (bf, Lc), 1)
+    dS = rS - fS * py
+    S = ((dS >= 0) & (dS < w)).astype(f32)
+
+    def expand(v_bf1):
+        """(bf, 1) -> (L, 1): replicate each feature's value over its rows."""
+        return jax.lax.dot_general(
+            E, v_bf1, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    def reduce_feat(x):
+        """(Lc, w) -> (bf, 1): sum each feature's w x w window."""
+        rs = jnp.sum(x, axis=1, keepdims=True)       # (Lc, 1)
+        return jax.lax.dot_general(
+            S, rs, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
 
     # ---- batched fractional offsets: the same per-feature floats come in
     # a second time as a VMEM block (Mosaic cannot vector-gather from the
     # SMEM prefetch array; the scalar reads in the setup loop can't read
     # vectors) ----
-    def _c(a, i):
-        # column read as slice+reshape: integer indexing on a value
-        # lowers to a gather, which Mosaic rejects
-        return a[:, i:i + 1].reshape(a.shape[0])
-
     v = fltv_ref[0]                 # (bf, 8)
-    tx = _c(v, 0)
-    ty = _c(v, 1)
-    cx = _c(v, 2)
-    cy = _c(v, 3)
-    live = _c(v, 4) > 0
+    vcols = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+
+    def _col(i):
+        # column extraction as a masked lane-reduction: a plain v[:, i:i+1]
+        # slice keeps a lane-OFFSET layout, which the scf.for legalization
+        # of the LK iteration loop cannot reconcile between entry and yield
+        # (carried values must be offset-0); the reduction canonicalizes
+        return jnp.sum(
+            jnp.where(vcols == i, v, 0.0), axis=1, keepdims=True
+        )
+
+    tx = _col(0)
+    ty = _col(1)
+    cx = _col(2)
+    cy = _col(3)
+    live = _col(4) > 0
 
     t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
     t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
-    c_iy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - _MARGIN, 0, ht - py)
-    c_ix = jnp.clip(jnp.floor(cx).astype(jnp.int32) - _MARGIN, 0, iw - px)
-    t_off = jnp.stack([tx - t_ix, ty - t_iy], axis=-1)      # (bf, 2)
-    o0 = jnp.stack([cx - c_ix, cy - c_iy], axis=-1)         # (bf, 2)
-
-    # template tap budget: wide enough for border-clamped offsets (the
-    # sampled window must stay inside the patch: offset <= min(py,px)-w-1)
-    tt_t = min(py, px) - w
-    assert tt_t >= 2, (py, px, w)
+    c_iy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - my, 0, ht - py)
+    c_ix = jnp.clip(jnp.floor(cx).astype(jnp.int32) - mx, 0, iw - px)
+    t_ox = tx - t_ix.astype(f32)    # (bf, 1)
+    t_oy = ty - t_iy.astype(f32)
+    o0x = cx - c_ix.astype(f32)
+    o0y = cy - c_iy.astype(f32)
 
     # template usable iff its offset stayed within the tap budget after the
-    # clamp (the XLA path's t_in check with the exact-corner layout)
+    # clamp (clamping only happens at image borders, where the XLA path's
+    # t_in check likewise fires)
     t_in = (
-        (_c(t_off, 0) >= 0.0) & (_c(t_off, 0) <= tt_t - 2.0)
-        & (_c(t_off, 1) >= 0.0) & (_c(t_off, 1) <= tt_t - 2.0)
+        (t_ox >= 0.0) & (t_ox <= _TT_T - 2.0)
+        & (t_oy >= 0.0) & (t_oy <= _TT_T - 2.0)
     )
-    t_off = jnp.clip(t_off, 0.0, tt_t - 2.0)
+    t_ox = jnp.clip(t_ox, 0.0, _TT_T - 2.0)
+    t_oy = jnp.clip(t_oy, 0.0, _TT_T - 2.0)
 
-    def sample(scr, o, tt):
-        """Separable hat-tap bilinear sample: (bf, w, w) windows of scr
-        at per-feature offsets o (bf, 2) in [0, tt-2]. hat(t) puts the
-        two bilinear weights on the straddling taps; every slice is
-        static, so the whole block stays batched VPU work."""
-        taps = jnp.arange(tt, dtype=jnp.float32)
-        hx = jnp.maximum(0.0, 1.0 - jnp.abs(o[:, 0:1] - taps))  # (bf, tt)
-        hy = jnp.maximum(0.0, 1.0 - jnp.abs(o[:, 1:2] - taps))
-        rows = tt - 1 + w
-        A = hx[:, 0:1, None] * scr[:, :rows, 0:w]
-        for i in range(1, tt):
-            A = A + hx[:, i:i + 1, None] * scr[:, :rows, i:i + w]
-        Iw = hy[:, 0:1, None] * A[:, 0:w]
-        for j in range(1, tt):
-            Iw = Iw + hy[:, j:j + 1, None] * A[:, j:j + w]
+    def sample(scr, ox_rows, oy_rows, tx_taps, ty_taps):
+        """Separable hat-tap bilinear sample of every feature's w x w window
+        at per-feature offsets, all rows batched. ox_rows (L,1) / oy_rows
+        (Lc,1) are the per-ROW offset columns; every slice is 2-D."""
+        A = jnp.zeros((L, w), f32)
+        for i in range(tx_taps):
+            hx = jnp.maximum(0.0, 1.0 - jnp.abs(ox_rows - i))
+            A = A + hx * scr[:, i:i + w]
+        Iw = jnp.zeros((Lc, w), f32)
+        for j in range(ty_taps):
+            hy = jnp.maximum(0.0, 1.0 - jnp.abs(oy_rows - j))
+            Iw = Iw + hy * A[j:j + Lc]
         return Iw
 
-    # materialize the scratch blocks once; sample() then slices VALUES
-    # (static slices of a vector value lower cleanly; multi-dim strided
-    # reads of a ref hit Mosaic's gather path and fail)
+    # materialize the scratch blocks once as 2-D values
     t_val = t_scr[...]
     gx_val = gx_scr[...]
     gy_val = gy_scr[...]
     c_val = c_scr[...]
 
     # template + gradients at the fixed fractional offset (2 hot taps)
-    T = sample(t_val, t_off, tt_t)
-    Tx = sample(gx_val, t_off, tt_t)
-    Ty = sample(gy_val, t_off, tt_t)
+    t_ox_rows = expand(t_ox)
+    t_oy_rows = expand(t_oy)[:Lc]
+    T = sample(t_val, t_ox_rows, t_oy_rows, _TT_T, _TT_T)
+    Tx = sample(gx_val, t_ox_rows, t_oy_rows, _TT_T, _TT_T)
+    Ty = sample(gy_val, t_ox_rows, t_oy_rows, _TT_T, _TT_T)
 
-    a11 = jnp.sum(Tx * Tx, axis=(1, 2))
-    a12 = jnp.sum(Tx * Ty, axis=(1, 2))
-    a22 = jnp.sum(Ty * Ty, axis=(1, 2))
+    a11 = reduce_feat(Tx * Tx)      # (bf, 1)
+    a12 = reduce_feat(Tx * Ty)
+    a22 = reduce_feat(Ty * Ty)
     win_area = float(w * w)
     tr_half = (a11 + a22) * 0.5
     disc = jnp.sqrt(
@@ -199,49 +253,62 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
     i22 = a11 * inv_det
 
     eps2 = eps * eps
-    Rf = float(R)
+
+    # LK iteration loop as an scf.for with FULL-LANE (bf, 128) carries:
+    # (bf, 1) carries mix matmul-output and elementwise layouts that the
+    # loop cannot reconcile between entry and yield ('failed to legalize
+    # scf.for'); broadcasting every carried value across the lane tile
+    # keeps all of them in the canonical vreg layout. Inputs to expand()
+    # are narrowed back to (bf, 1) with a lane slice (not loop-carried, so
+    # the offset layout is harmless there).
+    lanes = jnp.zeros((bf, 128), f32)
+
+    def wide(v_bf1):
+        return v_bf1 + lanes
 
     def lk_iter(_, carry):
-        o, conv = carry
-        ox, oy = _c(o, 0), _c(o, 1)
+        ox, oy, conv = carry        # (bf, 128) f32 each (conv: 0/1 mask)
         in_patch = (
-            (ox >= 0.0) & (ox <= Rf) & (oy >= 0.0) & (oy <= Rf)
-        )
-        o_cl = jnp.clip(o, 0.0, Rf)
-        Iw = sample(c_val, o_cl, _TT)
+            (ox >= 0.0) & (ox <= Rx) & (oy >= 0.0) & (oy <= Ry)
+        ).astype(f32)
+        ox_cl = jnp.clip(ox[:, :1], 0.0, Rx)
+        oy_cl = jnp.clip(oy[:, :1], 0.0, Ry)
+        Iw = sample(c_val, expand(ox_cl), expand(oy_cl)[:Lc], ttx, tty)
         diff = Iw - T
-        b1 = jnp.sum(diff * Tx, axis=(1, 2))
-        b2 = jnp.sum(diff * Ty, axis=(1, 2))
-        du = -(i11 * b1 + i12 * b2)
-        dv = -(i12 * b1 + i22 * b2)
-        step = jnp.stack([du, dv], axis=-1)
-        active = (~conv) & in_patch
-        o = jnp.where(active[:, None], o + step, o)
-        conv = conv | (du * du + dv * dv < eps2) | (~in_patch)
-        return o, conv
+        b1 = reduce_feat(diff * Tx)
+        b2 = reduce_feat(diff * Ty)
+        du = wide(-(i11 * b1 + i12 * b2))
+        dv = wide(-(i12 * b1 + i22 * b2))
+        active = (1.0 - conv) * in_patch
+        ox = ox + active * du
+        oy = oy + active * dv
+        small = (du * du + dv * dv < eps2).astype(f32)
+        conv = jnp.minimum(conv + small + (1.0 - in_patch), 1.0)
+        return ox, oy, conv
 
-    o_fin, _ = jax.lax.fori_loop(
-        0, max_iters, lk_iter, (o0, jnp.zeros((bf,), bool))
+    ofx, ofy, _ = jax.lax.fori_loop(
+        0, max_iters, lk_iter,
+        (wide(o0x), wide(o0y), jnp.zeros((bf, 128), f32)),
     )
+    ofx = ofx[:, :1]
+    ofy = ofy[:, :1]
 
     solvable = (min_eig > min_eig_threshold) & (det > 1e-12) & t_in & live
-    ofx, ofy = _c(o_fin, 0), _c(o_fin, 1)
     in_fin = (
-        (ofx >= -1.0) & (ofx <= Rf + 1.0)
-        & (ofy >= -1.0) & (ofy <= Rf + 1.0)
+        (ofx >= -1.0) & (ofx <= Rx + 1.0)
+        & (ofy >= -1.0) & (ofy <= Ry + 1.0)
     )
-    out_ref[0] = jnp.stack(
+    zero = jnp.zeros((bf, 1), f32)
+    out_ref[0] = jnp.concatenate(
         [
-            ofx - _c(o0, 0),                   # dx relative to the guess
-            ofy - _c(o0, 1),                   # dy
+            ofx - o0x,                        # dx relative to the guess
+            ofy - o0y,                        # dy
             min_eig,
-            solvable.astype(jnp.float32),
-            in_fin.astype(jnp.float32),
-            jnp.zeros((bf,), jnp.float32),
-            jnp.zeros((bf,), jnp.float32),
-            jnp.zeros((bf,), jnp.float32),
+            solvable.astype(f32),
+            in_fin.astype(f32),
+            zero, zero, zero,
         ],
-        axis=-1,
+        axis=1,
     )
 
 
@@ -265,16 +332,16 @@ def _pack_floats(t_tl, c_tl, valid, n_pad):
     return flt.reshape(-1), fltv
 
 
-def _call(imgs, flt, fltv, *, n_total, py, wt, iw, ht, w, max_iters, eps,
-          min_eig_threshold, batched, S=1, interpret=False):
+def _call(imgs, flt, fltv, *, n_total, py, wt, iw, ht, w, mx, my, max_iters,
+          eps, min_eig_threshold, batched, S=1, interpret=False):
     H, W = imgs[0].shape[-2:]
     kern = functools.partial(
         _kernel, bf=_BF, py=py, px=_PX, wt=wt, iw=iw, ht=ht, w=w,
-        n_total=n_total,
+        mx=mx, my=my, n_total=n_total,
         batched=batched, max_iters=max_iters, eps=eps,
         min_eig_threshold=min_eig_threshold,
     )
-    scratch = [pltpu.VMEM((_BF, py, _PX), jnp.float32)] * 4
+    scratch = [pltpu.VMEM((_BF * py + _PAD_ROWS, _PX), jnp.float32)] * 4
     if batched:
         grid = (S, n_total // _BF)
         img_spec = pl.BlockSpec(
@@ -318,8 +385,9 @@ def _call(imgs, flt, fltv, *, n_total, py, wt, iw, ht, w, max_iters, eps,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_track(py: int, w: int, max_iters: int, eps: float,
-                min_eig_threshold: float, interpret: bool = False):
+def _make_track(py: int, w: int, mx: int, my: int, max_iters: int,
+                eps: float, min_eig_threshold: float,
+                interpret: bool = False):
     @custom_batching.custom_vmap
     def track_level(prev, gx, gy, curr, t_tl, c_tl, valid):
         H, W = prev.shape
@@ -329,7 +397,7 @@ def _make_track(py: int, w: int, max_iters: int, eps: float,
         flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
             [prev, gx, gy, curr], flt, fltv,
-            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w,
+            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w, mx=mx, my=my,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
             batched=False, interpret=interpret,
@@ -354,7 +422,7 @@ def _make_track(py: int, w: int, max_iters: int, eps: float,
         flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
             [prev, gx, gy, curr], flt, fltv,
-            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w,
+            n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w, mx=mx, my=my,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
             batched=True, S=S, interpret=interpret,
@@ -378,6 +446,8 @@ def lk_track_level(
     max_iters: int,
     eps: float,
     min_eig_threshold: float,
+    margin_x: int = 6,
+    margin_y: int = 6,
     interpret: bool = False,
 ):
     """Run one fused LK level. Returns (d, min_eig, solvable, in_patch):
@@ -385,11 +455,21 @@ def lk_track_level(
 
     prev/gx/gy/curr: PADDED level images (see ops/klt.py pyramid padding).
     pos: (N,2) feature positions in padded level coords; guess: (N,2) flow-in.
-    Requires W > 128 (two lane tiles) and H >= py. interpret=True runs the
-    kernel in Pallas interpret mode on lane-tile-padded images (CI parity —
-    same contract as klt_pallas.extract_klt_patches)."""
+    margin_x/margin_y: per-axis iteration travel budget is 2*margin px
+    (stereo matching uses margin_x=16 for disparity; temporal uses 6/6).
+    Requires W > 128 (two lane tiles), H >= py, py % 8 == 0, and
+    py >= window + 2*margin_y (y-taps must not cross feature bands).
+    NOTE positions of status=False features are unspecified (the kernel
+    freezes them at the guess; the XLA path keeps iterating) — consumers
+    must mask by status. interpret=True runs the kernel in Pallas interpret
+    mode on lane-tile-padded images (CI parity — same contract as
+    klt_pallas.extract_klt_patches)."""
     W = prev.shape[-1]
     assert ((W + 127) // 128) * 128 >= 256, f"image too narrow: W={W}"
+    assert py % 8 == 0, f"py={py} must be a sublane multiple"
+    assert py >= window + 2 * margin_y, (py, window, margin_y)
+    assert _PX >= window + 2 * margin_x + 1, (window, margin_x)
+    assert 2 * max(margin_x, margin_y) + 2 <= _PAD_ROWS + 1
     if interpret:
         assert W % 128 == 0, (
             f"interpret mode requires lane-tile-padded images (W={W})"
@@ -398,7 +478,8 @@ def lk_track_level(
     t_tl = pos - half
     c_tl = pos + guess - half
     out = _make_track(
-        py, window, max_iters, eps, min_eig_threshold, interpret
+        py, window, margin_x, margin_y, max_iters, eps, min_eig_threshold,
+        interpret,
     )(prev, gx, gy, curr, t_tl, c_tl, valid)
     d = guess + out[..., 0:2]
     min_eig = out[..., 2]

@@ -144,6 +144,57 @@ def test_fused_level_border_features_are_killed_not_wrong(rng):
     assert interior.sum() >= (N - len(edge)) * 0.9
 
 
+def test_fused_level_stereo_margin(rng):
+    """Stereo-matcher geometry: window 11, margin_x=16 — the wide
+    negative-x disparity budget must be honored by the per-axis margins
+    (ADVICE r03: the old kernel silently shrank it)."""
+    H, W = 192, 512 - 2 * _PAD_X
+    # broad smooth blobs: the single-level convergence basin must span the
+    # 7.5 px displacement (the real stereo matcher has the pyramid chain)
+    img = _world(rng, H, W, smooth=6)
+    # -7.5 px leftward flow: beyond the OLD kernel's symmetric +-6 budget
+    # (o = 6 + 7.5 > R = 12 would freeze), within the stereo margin 16
+    shift = np.array([-7.5, 0.4], np.float32)
+    curr = _shifted(img, shift)
+    N = 64
+    pos = np.stack(
+        [rng.uniform(40, W - 40, N), rng.uniform(40, H - 40, N)], -1
+    ).astype(np.float32)
+    valid = np.ones(N, bool)
+
+    params = KltParams(window=11, max_level=0, max_iters=24, margin_x=16)
+    prev_pyr = KltTracker.build_pyramid(jnp.asarray(img), 0)
+    curr_pyr = KltTracker.build_pyramid(jnp.asarray(curr), 0)
+    res_xla = KltTracker.track(
+        prev_pyr, curr_pyr, jnp.asarray(pos), jnp.asarray(valid), params,
+    )
+    img_p = prev_pyr[0][0]
+    gxp, gyp = prev_pyr[1][0]
+    cur_p = curr_pyr[0][0]
+    py = _level_rows(11, img_p.shape[0])
+    p_pad = jnp.asarray(pos) + jnp.asarray([_PAD_X, _PAD_Y], jnp.float32)
+    d_k, me_k, solv, inp = lk_track_level(
+        img_p, gxp, gyp, cur_p, p_pad, jnp.zeros((N, 2), jnp.float32),
+        jnp.asarray(valid), window=11, py=py, max_iters=24,
+        eps=params.eps, min_eig_threshold=params.min_eig_threshold,
+        margin_x=16, margin_y=6, interpret=True,
+    )
+    d_k, solv, inp = np.asarray(d_k), np.asarray(solv), np.asarray(inp)
+    d_xla = np.asarray(res_xla.pos) - pos
+    # consider only features BOTH paths tracked to the true displacement
+    # (weak-texture wanderers are killed downstream by the y-gate/fb-check)
+    ok = (
+        np.asarray(res_xla.status) & solv & inp
+        & (np.abs(d_xla - shift).max(-1) < 0.25)
+    )
+    # single-level LK from 7.5 px away converges for only part of the
+    # population (no pyramid chain here); the assertion under test is the
+    # travel BUDGET + parity, not basin size
+    assert ok.sum() >= N * 0.35, f"large-disparity tracks lost: {ok.sum()}"
+    assert np.abs(d_k[ok] - shift).max() < 0.3
+    assert np.abs(d_k - d_xla)[ok].max() < 0.1
+
+
 def test_fused_level_batched_rule_matches_loop(rng):
     """The custom_vmap batched kernel must equal per-stream invocations."""
     import jax
@@ -185,6 +236,8 @@ def test_fused_level_batched_rule_matches_loop(rng):
         single = one(prev_p[s], gx_p[s], gy_p[s], cur_p[s], p_pad[s],
                      zeros[s], jnp.asarray(valid[s]))
         for b, o in zip(batched, single):
+            # rtol: the kernel's selector-matmul reductions may associate
+            # differently between the (S, blocks) and (blocks,) grids
             np.testing.assert_allclose(
-                np.asarray(b[s]), np.asarray(o), atol=1e-5
+                np.asarray(b[s]), np.asarray(o), atol=1e-5, rtol=1e-5
             )
