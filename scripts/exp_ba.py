@@ -39,6 +39,20 @@ parser.add_argument("--ba-iters", type=int, default=10)
 parser.add_argument("--ba-reject", type=float, default=20.0)
 parser.add_argument("--cache-frames", type=int, default=2401,
                     help="cache sequence length (frames must be <= this)")
+parser.add_argument("--klt-iters", type=int, default=0,
+                    help="override temporal KLT max_iters (0 = default)")
+parser.add_argument("--stereo-iters", type=int, default=0,
+                    help="override stereo KLT max_iters (0 = default)")
+parser.add_argument("--max-age", type=int, default=-1,
+                    help="override max_track_age (-1 = default)")
+parser.add_argument("--fb-threshold", type=float, default=0.0,
+                    help="override fb_threshold (0 = default)")
+parser.add_argument("--hypotheses", type=int, default=0,
+                    help="override RANSAC num_hypotheses (0 = default)")
+parser.add_argument("--max-depth", type=float, default=0.0,
+                    help="override max_depth_baselines (0 = default)")
+parser.add_argument("--anchored", action="store_true",
+                    help="enable keyframe-anchored KLT")
 parser.add_argument("--speed", type=float, default=0.3)
 parser.add_argument("--seed", type=int, default=7)
 parser.add_argument("--tag", type=str, default="")
@@ -84,6 +98,40 @@ ba = BaParams(
     reject_threshold=args.ba_reject,
 )
 cfg = Config(use_orb=False, image_height=shape[0], image_width=shape[1], ba=ba)
+if args.klt_iters:
+    cfg = dataclasses.replace(
+        cfg, temporal_klt=dataclasses.replace(
+            cfg.temporal_klt, max_iters=args.klt_iters)
+    )
+if args.stereo_iters:
+    cfg = dataclasses.replace(
+        cfg, stereo_klt=dataclasses.replace(
+            cfg.stereo_klt, max_iters=args.stereo_iters)
+    )
+if args.max_age >= 0:
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(
+            cfg.tracking, max_track_age=args.max_age)
+    )
+if args.fb_threshold:
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(
+            cfg.tracking, fb_threshold=args.fb_threshold)
+    )
+if args.hypotheses:
+    cfg = dataclasses.replace(
+        cfg, ransac=dataclasses.replace(
+            cfg.ransac, num_hypotheses=args.hypotheses)
+    )
+if args.max_depth:
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(
+            cfg.tracking, max_depth_baselines=args.max_depth)
+    )
+if args.anchored:
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, anchored_klt=True)
+    )
 K = np.array([[718.856, 0, shape[1] / 2],
               [0, 718.856, shape[0] / 2],
               [0, 0, 1]])
@@ -141,6 +189,25 @@ end_err = float(np.linalg.norm(est[n - 1, :3, 3] - gt[n - 1, :3, 3]))
 Rerr = est[n - 1, :3, :3] @ gt[n - 1, :3, :3].T
 rot_end = float(np.degrees(np.arccos(np.clip((np.trace(Rerr) - 1) / 2, -1, 1))))
 
+# systematic-bias diagnostics: signed per-frame relative yaw error and
+# translation scale ratio — where does linear drift come from?
+dyaws, dpitches, scales = [], [], []
+for i in range(n - 1):
+    de = np.linalg.inv(est[i]) @ est[i + 1]
+    dg = np.linalg.inv(gt[i]) @ gt[i + 1]
+    # yaw about camera y axis / pitch about x, from the forward column
+    yaw_e = np.arctan2(de[0, 2], de[2, 2])
+    yaw_g = np.arctan2(dg[0, 2], dg[2, 2])
+    dyaws.append(yaw_e - yaw_g)
+    dpitches.append(np.arctan2(-de[1, 2], de[2, 2])
+                    - np.arctan2(-dg[1, 2], dg[2, 2]))
+    ng = np.linalg.norm(dg[:3, 3])
+    if ng > 1e-6:
+        scales.append(np.linalg.norm(de[:3, 3]) / ng)
+mean_dyaw = float(np.degrees(np.mean(dyaws)))
+mean_dpitch = float(np.degrees(np.mean(dpitches)))
+mean_scale = float(np.mean(scales))
+
 out = {
     "tag": args.tag or args.mode,
     "mode": args.mode,
@@ -151,6 +218,9 @@ out = {
     "end_rot_err_deg": round(rot_end, 3),
     "rpe_trans_m": round(rpe_t, 4),
     "rpe_rot_deg": round(float(np.degrees(rpe_r)), 5),
+    "mean_dyaw_deg_per_frame": round(mean_dyaw, 6),
+    "mean_dpitch_deg_per_frame": round(mean_dpitch, 6),
+    "mean_scale_ratio": round(mean_scale, 6),
     "fps": round((n - 1) / dt, 1),
     "refine_calls": refine_calls,
     "refine_accepts": refine_accepts,

@@ -76,6 +76,15 @@ class TrackingParams:
     # 30 frames (5 keyframe cadences): measured on the 8-stream bench to cut
     # reversed-stream ATE ~2x while slightly improving forward streams.
     max_track_age: int = 30
+    # Keyframe-anchored KLT: track every frame against the ANCHOR KEYFRAME's
+    # template instead of chaining frame-to-frame. Both our tracker and cv2
+    # carry a constant ~-0.02..-0.05 px flow measurement bias on real
+    # imagery (scripts/probe_bias.py — identical for cv2, so the reference
+    # pipeline integrates it too, src/tracking.cpp:154-179); chained
+    # tracking integrates that bias EVERY FRAME into pitch/scale drift,
+    # anchored tracking re-measures against the keyframe so it enters once
+    # per keyframe generation — a ~cadence-fold cut in drift rate.
+    anchored_klt: bool = False
 
 
 @dataclass(frozen=True)

@@ -107,8 +107,10 @@ def _merge_features(
     pos = jnp.concatenate([feats.pos, new_pos])[idx]
     pid = jnp.concatenate([feats.point_id, new_pid])[idx]
     age = jnp.concatenate([feats.age, jnp.zeros_like(new_pid)])[idx]
+    anchor = jnp.concatenate([feats.anchor, new_pos])[idx]
     valid = keys[idx] >= 0.0
-    return FeatureSet(pos=pos, valid=valid, point_id=pid, age=age)
+    return FeatureSet(pos=pos, valid=valid, point_id=pid, age=age,
+                      anchor=anchor)
 
 
 # --------------------------------------------------------------------------
@@ -160,7 +162,10 @@ def _replenish(
     u_right = jnp.where(sres.status, sres.pos[:, 0], -1.0)
     mp = _record_obs(mp, det_pos, ids, new_valid, frame_id, u_right=u_right)
 
-    # 5. merge into the frame's feature table
+    # 5. merge into the frame's feature table. Surviving tracked features
+    #    RE-ANCHOR at this keyframe (their template generation rolls over —
+    #    see TrackingParams.anchored_klt; harmless when anchoring is off).
+    feats = feats._replace(anchor=feats.pos)
     feats = _merge_features(feats, det_pos, ids, det_score, new_valid)
     return feats, mp
 
@@ -215,6 +220,18 @@ def step_body(
     pyr_l = KltTracker.build_pyramid(left, cfg.temporal_klt.max_level)
 
     # --- temporal tracking (reference: src/tracking.cpp:154-179) ---
+    # Anchored mode (TrackingParams.anchored_klt): state.prev_pyramid holds
+    # the ANCHOR KEYFRAME's pyramid and each feature tracks from its anchor
+    # position with the accumulated flow as the seed — the tracker's
+    # constant measurement bias enters once per keyframe generation instead
+    # of once per frame. Chained mode (the reference's structure): template
+    # is the previous frame, flow seeds from zero/prior.
+    anchored = cfg.tracking.anchored_klt
+    track_src = state.features.anchor if anchored else state.features.pos
+    base_flow = (
+        state.features.pos - state.features.anchor if anchored else None
+    )
+
     # Constant-velocity prior: predict this frame's pose from the stored
     # relative motion (which the reference computes at tracking.cpp:215 and
     # never uses) and seed the KLT flow with the predicted reprojection
@@ -239,23 +256,25 @@ def step_body(
             # them.
             Xw_prior = state.map.points[jnp.clip(state.features.point_id, 0)]
             uv_pred = camera_project(camera.K, se3.transform(T_cw_pred, Xw_prior))
-            init_flow = uv_pred - state.features.pos
+            delta = uv_pred - state.features.pos
             flow_ok = (
                 state.features.valid
                 & prior_ok
-                & jnp.all(jnp.isfinite(init_flow), axis=-1)
-                & (jnp.sum(init_flow * init_flow, axis=-1) < 200.0**2)
+                & jnp.all(jnp.isfinite(delta), axis=-1)
+                & (jnp.sum(delta * delta, axis=-1) < 200.0**2)
             )
-            init_flow = jnp.where(flow_ok[:, None], init_flow, 0.0)
+            seeded = uv_pred - track_src
+            fallback = base_flow if base_flow is not None else jnp.zeros_like(seeded)
+            init_flow = jnp.where(flow_ok[:, None], seeded, fallback)
         else:
-            init_flow = None
+            init_flow = base_flow
     else:
         T_wc_pred = state.pose
         T_cw_pred = se3.inverse(state.pose)
-        init_flow = None
+        init_flow = base_flow
 
     tres = KltTracker.track(
-        state.prev_pyramid, pyr_l, state.features.pos, state.features.valid,
+        state.prev_pyramid, pyr_l, track_src, state.features.valid,
         cfg.temporal_klt, init_flow=init_flow,
     )
     t_status = state.features.valid & tres.status
@@ -269,9 +288,9 @@ def step_body(
         fb_params = dataclasses.replace(cfg.temporal_klt, max_level=0, max_iters=8)
         bres = KltTracker.track(
             pyr_l, state.prev_pyramid, tres.pos, t_status,
-            fb_params, init_flow=state.features.pos - tres.pos,
+            fb_params, init_flow=track_src - tres.pos,
         )
-        fb_err2 = jnp.sum((bres.pos - state.features.pos) ** 2, axis=-1)
+        fb_err2 = jnp.sum((bres.pos - track_src) ** 2, axis=-1)
         t_status = t_status & bres.status & (
             fb_err2 < cfg.tracking.fb_threshold ** 2
         )
@@ -280,6 +299,7 @@ def step_body(
         valid=t_status,
         point_id=state.features.point_id,
         age=state.features.age + 1,
+        anchor=state.features.anchor,
     )
     n_tracked = tracked.count()
 
@@ -404,10 +424,20 @@ def step_body(
             mp.n_points.astype(jnp.float32),
         ]
     )
+    # anchored mode keeps the KEYFRAME pyramid as the template source;
+    # chained mode carries the current frame's pyramid as before
+    if not anchored or kf_mode == "always":
+        out_pyr = pyr_l
+    elif kf_mode == "never":
+        out_pyr = state.prev_pyramid
+    else:
+        out_pyr = jax.tree.map(
+            lambda a, b: jnp.where(is_kf, a, b), pyr_l, state.prev_pyramid
+        )
     return VoState(
         features=feats,
         map=mp,
-        prev_pyramid=pyr_l,
+        prev_pyramid=out_pyr,
         frame_id=fid,
         prev_is_kf=is_kf,
         last_kf_id=last_kf_id,

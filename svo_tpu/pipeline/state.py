@@ -32,6 +32,13 @@ class FeatureSet(NamedTuple):
     valid: jnp.ndarray     # (N,) bool
     point_id: jnp.ndarray  # (N,) i32 map-point index, -1 if none
     age: jnp.ndarray       # (N,) i32 frames survived
+    # Template anchor for keyframe-anchored KLT (TrackingParams.anchored_klt):
+    # the feature's position IN THE ANCHOR KEYFRAME. Chained frame-to-frame
+    # tracking integrates the tracker's constant measurement bias every
+    # frame; anchored tracking re-measures against the keyframe template, so
+    # the bias enters once per keyframe GENERATION instead (the dominant
+    # long-run pitch/scale drift mechanism — see scripts/probe_bias*.py).
+    anchor: jnp.ndarray    # (N, 2) f32 (x, y) position in the anchor KF
 
     @staticmethod
     def empty(n: int) -> "FeatureSet":
@@ -40,6 +47,7 @@ class FeatureSet(NamedTuple):
             valid=jnp.zeros((n,), bool),
             point_id=jnp.full((n,), -1, jnp.int32),
             age=jnp.zeros((n,), jnp.int32),
+            anchor=jnp.zeros((n, 2), jnp.float32),
         )
 
     def count(self) -> jnp.ndarray:
