@@ -1,0 +1,210 @@
+"""Multi-world robustness suite (VERDICT r03 item 4 -> WORLDS_r04.json).
+
+Every headline accuracy number so far came from ONE synthetic world (the
+3-plane corridor) and one forward+wobble trajectory — tuned constants risk
+being world-specific. This runs the TPU pipeline AND the
+reference-equivalent CPU pipeline over worlds varying texture scale,
+geometry (narrow corridor, open box with turns, loop), speed and rotation
+content, forward and reversed, and writes the per-world ATE table.
+
+    python scripts/eval_worlds.py --out WORLDS_r04.json
+    python scripts/eval_worlds.py --skip-ref --frames 121   # quick
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--cpu", action="store_true")
+parser.add_argument("--frames", type=int, default=241)
+parser.add_argument("--chunk", type=int, default=12)
+parser.add_argument("--cadence", type=int, default=6)
+parser.add_argument("--config", default="default",
+                    choices=["default", "anchored"],
+                    help="pipeline config variant under test")
+parser.add_argument("--refine-every", type=int, default=0,
+                    help="global refinement every N chunks (0 = off)")
+parser.add_argument("--skip-ref", action="store_true")
+parser.add_argument("--worlds", default="")
+parser.add_argument("--out", default="")
+args = parser.parse_args()
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+_ = jax.devices()
+
+import numpy as np  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from svo_tpu.config import Config  # noqa: E402
+from svo_tpu.eval.trajectory import ate_rmse  # noqa: E402
+from svo_tpu.geometry import camera as cam_mod  # noqa: E402
+from svo_tpu.io.synthetic import SyntheticSequence  # noqa: E402
+from svo_tpu.pipeline.odometry import StereoVO  # noqa: E402
+
+SHAPE = (376, 1241)
+FX = 718.856
+
+# name -> (world kind, trajectory kind, speed). The corridor/wobble world is
+# the TUNING world; every other row is held out.
+WORLDS = {
+    "corridor-base": ("corridor", "wobble", 0.3),
+    "corridor-narrow-coarse": ("corridor-narrow", "wobble", 0.45),
+    "box-turns": ("box", "turns", 0.3),
+    "box-loop": ("box", "loop", 0.3),
+    "box-fine-fast": ("box-fine", "turns", 0.6),
+    "corridor-lowtex": ("corridor-lowtex", "wobble", 0.3),
+}
+
+t_start = time.perf_counter()
+
+
+def log(msg):
+    print(f"[worlds +{time.perf_counter() - t_start:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def render_world(name, world, traj, speed, n):
+    d = f"/tmp/svo_cache/worlds/{name}_f{n}"
+    os.makedirs(d, exist_ok=True)
+    H, W = SHAPE
+    lf, rf = os.path.join(d, "l.u8"), os.path.join(d, "r.u8")
+    gtf = os.path.join(d, "gt.npy")
+    seq = SyntheticSequence(n_frames=n, shape=SHAPE, fx=FX, speed=speed,
+                            world=world, traj=traj)
+    if os.path.exists(gtf) and os.path.getsize(lf) == n * H * W:
+        ls = np.memmap(lf, np.uint8, "r", shape=(n, H, W))
+        rs = np.memmap(rf, np.uint8, "r", shape=(n, H, W))
+        return ls, rs, np.load(gtf), seq
+    ls = np.memmap(lf, np.uint8, "w+", shape=(n, H, W))
+    rs = np.memmap(rf, np.uint8, "w+", shape=(n, H, W))
+    for i in range(n):
+        l, r = seq.frame(i)
+        ls[i] = np.clip(l, 0, 255).astype(np.uint8)
+        rs[i] = np.clip(r, 0, 255).astype(np.uint8)
+    ls.flush(); rs.flush()
+    np.save(gtf, seq.gt_poses)
+    return ls, rs, seq.gt_poses, seq
+
+
+def build_cfg():
+    cfg = Config(use_orb=False, image_height=SHAPE[0], image_width=SHAPE[1])
+    if args.config == "anchored":
+        cfg = dataclasses.replace(
+            cfg, tracking=dataclasses.replace(cfg.tracking, anchored_klt=True)
+        )
+    return cfg
+
+
+def run_tpu(cfg, camera, ls, rs, gt):
+    n = 1 + ((len(ls) - 1) // args.chunk) * args.chunk
+    vo = StereoVO(cfg, camera, chunk=args.chunk, kf_cadence=args.cadence)
+    vo.start(ls[0].astype(np.float32), rs[0].astype(np.float32))
+
+    refiner = None
+    if args.refine_every:
+        from svo_tpu.parallel.global_opt import refine_global
+
+        K_mat = jnp.asarray(camera.K)
+        bfx = jnp.float32(camera.K[0, 0] * camera.baseline)
+
+        @jax.jit
+        def _refine(mp, poses, fid):
+            res = refine_global(mp, poses, fid, K_mat, bfx)
+            return res.map.points, res.poses, res.poses[fid]
+
+        def refiner(state):
+            pts, poses, pose = _refine(state.map, state.poses, state.frame_id)
+            return state._replace(
+                map=state.map._replace(points=pts), poses=poses, pose=pose
+            )
+
+    t0 = time.perf_counter()
+    for c in range((n - 1) // args.chunk):
+        sl = slice(1 + c * args.chunk, 1 + (c + 1) * args.chunk)
+        vo.state = vo._chunk_step(
+            vo.state, np.ascontiguousarray(ls[sl]), np.ascontiguousarray(rs[sl])
+        )
+        if refiner is not None and (c + 1) % args.refine_every == 0:
+            vo.state = refiner(vo.state)
+    jax.block_until_ready(vo.state.pose)
+    wall = time.perf_counter() - t0
+    est = np.asarray(vo.state.poses[:n])
+    return ate_rmse(est, gt[:n]), (n - 1) / wall
+
+
+def run_ref(cfg, camera, ls, rs, gt):
+    from svo_tpu.eval.reference_cpu import ReferenceCpuPipeline
+
+    frames = [(i, ls[i].astype(np.float32), rs[i].astype(np.float32))
+              for i in range(len(ls))]
+    ref = ReferenceCpuPipeline(
+        cfg, np.asarray(camera.K), np.asarray(camera.P_left),
+        np.asarray(camera.P_right),
+    )
+    poses, _, fps = ref.run(frames)
+    return ate_rmse(poses, gt[: len(poses)]), fps
+
+
+rows = []
+names = [w.strip() for w in args.worlds.split(",") if w.strip()] or list(WORLDS)
+for name in names:
+    world, traj, speed = WORLDS[name]
+    ls, rs, gt, seq = render_world(name, world, traj, speed, args.frames)
+    log(f"{name}: rendered/loaded {args.frames} frames")
+    camera = cam_mod.from_intrinsics(
+        seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline
+    )
+    cfg = build_cfg()
+    traveled = float(np.linalg.norm(np.diff(gt[:, :3, 3], axis=0), axis=1).sum())
+    row = {"world": name, "kind": world, "traj": traj, "speed": speed,
+           "frames": args.frames, "traveled_m": round(traveled, 1),
+           "held_out": name != "corridor-base"}
+    for direction in ("fwd", "rev"):
+        if direction == "rev":
+            lsd, rsd, gtd = ls[::-1], rs[::-1], gt[::-1]
+        else:
+            lsd, rsd, gtd = ls, rs, gt
+        ate, fps = run_tpu(cfg, camera, lsd, rsd, gtd)
+        row[f"tpu_ate_{direction}_m"] = round(float(ate), 4)
+        log(f"{name} {direction}: TPU ATE {ate:.3f} m ({fps:.0f} fps)")
+        if not args.skip_ref:
+            ate_r, fps_r = run_ref(cfg, camera, lsd, rsd, gtd)
+            row[f"ref_ate_{direction}_m"] = round(float(ate_r), 4)
+            log(f"{name} {direction}: ref ATE {ate_r:.3f} m ({fps_r:.0f} fps)")
+    rows.append(row)
+    print(json.dumps(row), flush=True)
+
+if args.out:
+    wins = sum(
+        1 for r in rows for d in ("fwd", "rev")
+        if f"ref_ate_{d}_m" in r and r[f"tpu_ate_{d}_m"] <= r[f"ref_ate_{d}_m"]
+    )
+    total = sum(
+        1 for r in rows for d in ("fwd", "rev") if f"ref_ate_{d}_m" in r
+    )
+    out = {
+        "metric": "multi_world_ate",
+        "config": args.config,
+        "refine_every": args.refine_every,
+        "frames_per_world": args.frames,
+        "image": f"{SHAPE[0]}x{SHAPE[1]}",
+        "tpu_wins": wins,
+        "comparisons": total,
+        "worlds": rows,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    log(f"wrote {args.out} ({wins}/{total} TPU wins)")

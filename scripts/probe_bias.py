@@ -24,6 +24,12 @@ parser.add_argument("--frame", type=int, default=100)
 parser.add_argument("--n", type=int, default=40, help="frame pairs to average")
 parser.add_argument("--tracker", type=str, default="ours",
                     choices=["ours", "cv2"])
+parser.add_argument("--gap", type=int, default=1,
+                    help="frame gap: 1 = chained-style step, 6 = one "
+                         "anchored generation")
+parser.add_argument("--seeded", action="store_true",
+                    help="seed tracking with GT flow + U(-0.5,0.5) px — "
+                         "the anchored pipeline's accumulated-flow seed")
 args = parser.parse_args()
 
 import jax
@@ -41,7 +47,7 @@ from svo_tpu.io.synthetic import SyntheticSequence, default_world  # noqa: E402
 from svo_tpu.ops.klt import KltTracker  # noqa: E402
 
 shape = (376, 1241)
-seq = SyntheticSequence(n_frames=args.frame + args.n + 2, shape=shape,
+seq = SyntheticSequence(n_frames=args.frame + args.n + args.gap + 2, shape=shape,
                         fx=718.856, speed=0.3)
 cfg = Config(use_orb=False, image_height=shape[0], image_width=shape[1])
 K = seq.K
@@ -87,13 +93,14 @@ terr = np.zeros((0, 2))
 tmask = np.zeros((0,), bool)
 tuv = np.zeros((0, 2))
 tgtf = np.zeros((0, 2))
+tz = np.zeros((0,))
 derr_all, dmask, duv, dz = (np.zeros((0,)), np.zeros((0,), bool),
                             np.zeros((0, 2)), np.zeros((0,)))
 for k in range(args.n):
     f0 = args.frame + k
-    T0, T1 = seq.gt_poses[f0], seq.gt_poses[f0 + 1]
+    T0, T1 = seq.gt_poses[f0], seq.gt_poses[f0 + args.gap]
     l0, r0 = seq.frame(f0)
-    l1, _ = seq.frame(f0 + 1)
+    l1, _ = seq.frame(f0 + args.gap)
 
     X, depth = gt_depth_points(T0, uv0)
     finite = np.isfinite(depth)
@@ -118,17 +125,29 @@ for k in range(args.n):
         flow = pos_t - uv0
         ok = st_t & finite & (np.abs(gt_flow) < 30).all(-1)
     else:
+        seed_rng = np.random.default_rng(1000 + k)
+        init = None
+        if args.seeded:
+            init = jnp.asarray(
+                np.nan_to_num(gt_flow)
+                + seed_rng.uniform(-0.5, 0.5, gt_flow.shape),
+                jnp.float32,
+            )
         p0 = KltTracker.build_pyramid(jnp.asarray(l0, jnp.float32),
                                       cfg.temporal_klt.max_level)
         p1 = KltTracker.build_pyramid(jnp.asarray(l1, jnp.float32),
                                       cfg.temporal_klt.max_level)
         res = KltTracker.track(p0, p1, jnp.asarray(uv0), jnp.asarray(finite),
-                               cfg.temporal_klt)
+                               cfg.temporal_klt, init_flow=init)
         flow = np.asarray(res.pos) - uv0
         ok = np.asarray(res.status) & finite & (np.abs(gt_flow) < 30).all(-1)
+        if args.seeded:
+            # fb-style sanity: kill tracks that ran away from the seed
+            ok = ok & (np.abs(flow - np.nan_to_num(gt_flow)).max(-1) < 3.0)
     terr = np.concatenate([terr, (flow - gt_flow)[ok]])
     tuv = np.concatenate([tuv, uv0[ok]])
     tgtf = np.concatenate([tgtf, gt_flow[ok]])
+    tz = np.concatenate([tz, z1[ok]])
 
     # stereo disparity
     if args.tracker == "cv2":
@@ -183,6 +202,17 @@ for lo, hi in [(0, 1), (1, 3), (3, 8), (8, 30)]:
         print(f"  |gt_dv| in [{lo},{hi}): n={m.sum():5d} "
               f"mean_dv_err={terr[m, 1].mean():+.4f} "
               f"rel={terr[m, 1].mean() / max(np.abs(tgtf[m, 1]).mean(), 1e-9):+.4f}")
+
+# radial flow error about the FOE (pure-forward approx: FOE ~ principal pt)
+c2 = np.array([cx, cy])
+rvec = tuv - c2
+rn = np.linalg.norm(rvec, axis=1) + 1e-9
+radial = np.sum(terr * rvec, axis=1) / rn
+for lo, hi in [(0, 10), (10, 20), (20, 40), (40, 100)]:
+    m = (tz >= lo) & (tz < hi)
+    if m.sum():
+        print(f"  temporal radial err, depth [{lo},{hi}): n={m.sum():5d} "
+              f"mean={radial[m].mean():+.4f} px dv={terr[m,1].mean():+.4f}")
 
 print(f"STEREO disparity error (px), {len(derr_all)} matches "
       f"(positive = disparity overestimated = depth underestimated):")

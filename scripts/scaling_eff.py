@@ -32,7 +32,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 parser = argparse.ArgumentParser()
-parser.add_argument("--out", type=str, default=os.path.join(REPO, "SCALING_r03.json"))
+parser.add_argument("--out", type=str, default=os.path.join(REPO, "SCALING_r04.json"))
 parser.add_argument("--cams", type=int, default=12)
 parser.add_argument("--pts", type=int, default=4096)
 parser.add_argument("--iters", type=int, default=20)
@@ -106,6 +106,54 @@ for cams, pts, reps in SWEEP:
     points.append(measure(cams, pts, reps))
     print(f"  eff={points[-1]['efficiency']}", file=sys.stderr, flush=True)
 
+def measure_frontend() -> dict:
+    """Strong scaling of the data-parallel frontend: a fixed 2-stream
+    fleet on 1 process (2 devices, 1 pinned core) vs 2 processes (1 device
+    + 1 pinned core each). Per-step cross-process traffic is one small
+    psum (fleet health) — the per-stream-per-chip serving structure."""
+    def run_front(nprocs):
+        outs = [f"/tmp/fscale_{nprocs}_{r}.json" for r in range(nprocs)]
+        procs = []
+        for r in range(nprocs):
+            cmd = [
+                sys.executable,
+                os.path.join(REPO, "scripts", "frontend_scaling_worker.py"),
+                "--rank", str(r), "--nprocs", str(nprocs),
+                "--port", str(args.port + 7), "--out", outs[r],
+            ]
+            if HAVE_TASKSET:
+                cmd = ["taskset", "-c", str(r)] + cmd
+            procs.append(subprocess.Popen(cmd))
+        for p in procs:
+            rc = p.wait(timeout=900)
+            assert rc == 0, f"frontend worker exited {rc}"
+        return [json.load(open(o)) for o in outs]
+
+    r1 = run_front(1)
+    print(f"  frontend 1-proc: {r1[0]['frames_per_s_aggregate']:.2f} fps",
+          file=sys.stderr, flush=True)
+    r2 = run_front(2)
+    t1 = r1[0]["wall_s"]
+    t2 = max(w["wall_s"] for w in r2)
+    return {
+        "streams": r1[0]["streams"],
+        "steps": r1[0]["steps"],
+        "efficiency": round(t1 / t2 / 2.0, 4),
+        "speedup": round(t1 / t2, 4),
+        "t1_s": round(t1, 3),
+        "t2_s": round(t2, 3),
+        "fps_aggregate_1proc": round(r1[0]["frames_per_s_aggregate"], 2),
+        "fps_aggregate_2proc": round(
+            r1[0]["streams"] * r1[0]["steps"] / t2, 2
+        ),
+    }
+
+
+print("measuring data-parallel frontend 1 vs 2 procs...", file=sys.stderr,
+      flush=True)
+frontend = measure_frontend()
+print(f"  frontend eff={frontend['efficiency']}", file=sys.stderr, flush=True)
+
 head = points[-1]
 result = {
     "metric": "distributed_ba_scaling_efficiency_2proc",
@@ -124,6 +172,21 @@ result = {
     ),
     "headline_problem": {k: head[k] for k in ("cams", "pts", "n_obs")},
     "sweep": points,
+    "small_problem_note": (
+        "the smallest sweep point (window-BA-sized, ~41k obs) is "
+        "comm-dominated on localhost gRPC and does NOT meet the target "
+        "(see sweep[0]); distributed BA pays off at global-map sizes, "
+        "which is the workload it exists for"
+    ),
+    "frontend": frontend | {
+        "metric": "data_parallel_frontend_scaling_2proc",
+        "method": (
+            "strong scaling of parallel/multi_seq.py: fixed 2-stream "
+            "fleet, 1 process (2 virtual CPU devices, 1 pinned core) vs "
+            "2 processes (1 device + 1 pinned core each); per-step "
+            "cross-process traffic is one fleet-health psum"
+        ),
+    },
 }
 with open(args.out, "w") as f:
     json.dump(result, f, indent=1)

@@ -37,6 +37,8 @@ parser.add_argument("--resume-chunks", type=int, default=4,
 parser.add_argument("--refine-every", type=int, default=0,
                     help="run global refinement (keyframe-block BA + "
                          "pose-graph) every N chunks (0 = off)")
+parser.add_argument("--anchored", action="store_true",
+                    help="keyframe-anchored KLT (TrackingParams.anchored_klt)")
 parser.add_argument("--out", type=str, default="")
 args = parser.parse_args()
 
@@ -71,6 +73,22 @@ def log(msg):
 
 seq = SyntheticSequence(n_frames=args.frames, shape=shape, fx=fx, speed=0.3)
 cfg = Config(use_orb=False, image_height=shape[0], image_width=shape[1])
+if args.anchored:
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        cfg, tracking=dataclasses.replace(cfg.tracking, anchored_klt=True)
+    )
+
+# pre-rendered frame cache (scripts/render_cache.py): rendering dominates
+# the soak's wall clock otherwise
+_cache = None
+if not args.small:
+    from render_cache import open_cache
+
+    _cache = open_cache(args.frames, shape, fx, 0.3, 7)
+    if _cache is not None:
+        log("using render cache")
 camera = cam_mod.from_intrinsics(
     seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline
 )
@@ -86,14 +104,21 @@ def u8(x):
 
 
 def render_chunk(c):
-    ts = range(1 + c * CH, 1 + (c + 1) * CH)
-    pairs = [seq.frame(t) for t in ts]
+    sl = slice(1 + c * CH, 1 + (c + 1) * CH)
+    if _cache is not None:
+        ls, rs, _ = _cache
+        return np.ascontiguousarray(ls[sl]), np.ascontiguousarray(rs[sl])
+    pairs = [seq.frame(t) for t in range(sl.start, sl.stop)]
     return (np.stack([u8(l) for l, _ in pairs]),
             np.stack([u8(r) for _, r in pairs]))
 
 
 vo = StereoVO(cfg, camera, chunk=CH, kf_cadence=args.cadence)
-l0, r0 = seq.frame(0)
+if _cache is not None:
+    l0 = _cache[0][0].astype(np.float32)
+    r0 = _cache[1][0].astype(np.float32)
+else:
+    l0, r0 = seq.frame(0)
 vo.start(l0, r0)
 log(f"soak start: {args.frames} frames, {n_chunks} chunks of {CH}, "
     f"checkpoint at chunk {ckpt_at}")
@@ -246,7 +271,7 @@ result = {
         "accepted": refine_accepts,
     } if args.refine_every else None,
 }
-out = args.out or os.path.join(REPO, "SOAK_r03.json")
+out = args.out or os.path.join(REPO, "SOAK_r04.json")
 with open(out, "w") as f:
     json.dump(result, f, indent=1)
 print(json.dumps({k: result[k] for k in

@@ -16,13 +16,15 @@ from __future__ import annotations
 import numpy as np
 
 
-def _value_noise_texture(rng, n=512, cell=8, blur=1):
+def _value_noise_texture(rng, n=512, cell=8, blur=1, lo=40.0, hi=215.0,
+                         fine_amp=15.0):
     """Blocky texture: coarse random grid upsampled nearest + slight smoothing,
     plus a fine octave. Produces FAST corners at block boundaries and clean
-    KLT gradients."""
-    coarse = rng.uniform(40, 215, (n // cell, n // cell)).astype(np.float32)
+    KLT gradients. cell/lo/hi/fine_amp parameterize feature density and
+    contrast for the multi-world robustness suite."""
+    coarse = rng.uniform(lo, hi, (n // cell, n // cell)).astype(np.float32)
     tex = np.kron(coarse, np.ones((cell, cell), np.float32))
-    fine = rng.uniform(-15, 15, (n, n)).astype(np.float32)
+    fine = rng.uniform(-fine_amp, fine_amp, (n, n)).astype(np.float32)
     tex = tex + fine
     for _ in range(blur):
         tex = 0.25 * (
@@ -53,22 +55,82 @@ def default_world(rng) -> list[Plane]:
     ]
 
 
-def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06) -> np.ndarray:
-    """(F,4,4) camera-to-world poses: forward motion with a ZERO-MEAN yaw
-    wobble (yaw = yaw_amp * sin(0.05 i)).
+def make_world(rng, kind: str = "corridor") -> list[Plane]:
+    """Parameterized worlds for the robustness suite (WORLDS_r04):
 
-    The original formulation integrated the wobble (yaw += amp*sin(...)),
-    which has a positive-mean integral — a constant ~1.7 deg heading bias
-    that walked the camera laterally THROUGH the corridor wall at x=10 by
-    frame ~1100 of a long run; from outside the corridor half the image is
-    textureless sky and every VO pipeline (this one AND the
-    reference-equivalent CPU one) collapsed identically. Zero-mean yaw keeps
-    the same per-frame wobble magnitude while the lateral excursion stays
-    bounded at ~±0.4 m for any sequence length."""
+    - corridor         the tuning world (ground + walls at +-10)
+    - corridor-narrow  walls at +-6, coarse low-contrast texture
+    - box              open ground inside a large 80 m box (turn/loop room)
+    - box-fine         large box, fine high-frequency texture
+    - corridor-lowtex  weak-gradient texture (contrast halved, heavy blur)
+    """
+    tex = _value_noise_texture
+    if kind == "corridor":
+        return default_world(rng)
+    if kind == "corridor-narrow":
+        t = dict(cell=16, fine_amp=8.0)
+        return [
+            Plane([0, 1.7, 0], [0, -1, 0], [1, 0, 0], tex(rng, **t)),
+            Plane([-6, 0, 0], [1, 0, 0], [0, 0, 1], tex(rng, **t)),
+            Plane([6, 0, 0], [-1, 0, 0], [0, 0, 1], tex(rng, **t)),
+        ]
+    if kind in ("box", "box-fine"):
+        t = dict(cell=4, fine_amp=20.0) if kind == "box-fine" else {}
+        s = 0.15 if kind != "box-fine" else 0.08
+        return [
+            Plane([0, 1.7, 0], [0, -1, 0], [1, 0, 0], tex(rng), 0.15),
+            Plane([-40, 0, 0], [1, 0, 0], [0, 0, 1], tex(rng, **t), s),
+            Plane([40, 0, 0], [-1, 0, 0], [0, 0, 1], tex(rng, **t), s),
+            Plane([0, 0, 100], [0, 0, -1], [1, 0, 0], tex(rng, **t), s),
+            Plane([0, 0, -40], [0, 0, 1], [1, 0, 0], tex(rng, **t), s),
+        ]
+    if kind == "corridor-lowtex":
+        t = dict(lo=85.0, hi=170.0, fine_amp=6.0, blur=3)
+        return [
+            Plane([0, 1.7, 0], [0, -1, 0], [1, 0, 0], tex(rng, **t)),
+            Plane([-10, 0, 0], [1, 0, 0], [0, 0, 1], tex(rng, **t)),
+            Plane([10, 0, 0], [-1, 0, 0], [0, 0, 1], tex(rng, **t)),
+        ]
+    raise ValueError(f"unknown world kind: {kind}")
+
+
+def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06,
+                    kind: str = "wobble") -> np.ndarray:
+    """(F,4,4) camera-to-world poses.
+
+    kinds:
+    - wobble  forward motion with a ZERO-MEAN yaw wobble
+              (yaw = yaw_amp * sin(0.05 i)). The original formulation
+              integrated the wobble (yaw += amp*sin(...)), which has a
+              positive-mean integral — a constant ~1.7 deg heading bias
+              that walked the camera laterally THROUGH the corridor wall at
+              x=10 by frame ~1100 of a long run; from outside the corridor
+              half the image is textureless sky and every VO pipeline (this
+              one AND the reference-equivalent CPU one) collapsed
+              identically. Zero-mean yaw keeps the same per-frame wobble
+              magnitude while the lateral excursion stays bounded.
+    - turns   two smooth 90-degree turns (right then left) at 1/3 and 2/3
+              of the run, wobble overlaid — sustained-rotation content.
+    - loop    constant yaw rate closing a full circle over the run
+              (radius = n*speed / 2pi) — continuous rotation + revisits.
+    """
     poses = np.zeros((n_frames, 4, 4))
     pos = np.zeros(3)
+
+    def turn_profile(i):
+        # smoothstep 90-deg turns over 80 frames centered at n/3 and 2n/3
+        total = 0.0
+        for center, sign in ((n_frames / 3, 1.0), (2 * n_frames / 3, -1.0)):
+            t = np.clip((i - (center - 40)) / 80.0, 0.0, 1.0)
+            total += sign * (np.pi / 2) * (3 * t * t - 2 * t * t * t)
+        return total
+
     for i in range(n_frames):
         yaw = yaw_amp * np.sin(i * 0.05)
+        if kind == "turns":
+            yaw += turn_profile(i)
+        elif kind == "loop":
+            yaw += 2 * np.pi * i / max(n_frames - 1, 1)
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         poses[i] = np.eye(4)
@@ -150,6 +212,8 @@ class SyntheticSequence:
         baseline: float = 0.5372,
         speed: float = 0.35,
         seed: int = 7,
+        world: str = "corridor",
+        traj: str = "wobble",
     ):
         rng = np.random.default_rng(seed)
         H, W = shape
@@ -162,8 +226,8 @@ class SyntheticSequence:
             ]
         )
         self.baseline = baseline
-        self.planes = default_world(rng)
-        self.gt_poses = make_trajectory(n_frames, speed=speed)
+        self.planes = make_world(rng, world)
+        self.gt_poses = make_trajectory(n_frames, speed=speed, kind=traj)
         self.n_frames = n_frames
 
     def frame(self, i: int) -> tuple[np.ndarray, np.ndarray]:

@@ -151,7 +151,7 @@ def refine_global(
     alt = refine_alternate(
         full_prob, K_mat, baseline_fx, rounds=ba_iterations // 2 + 2,
         n_fixed=1, huber_delta=huber_delta,
-        reject_threshold=min(reject_threshold, 20.0),
+        reject_threshold=jnp.minimum(reject_threshold, 20.0),
     )
     alt_ok = jnp.isfinite(alt.cost) & (alt.cost <= alt.cost0)
     cons_mp, cons_poses = write_back(
@@ -231,7 +231,7 @@ def refine_global_sharded(
     alt = refine_alternate(
         full_prob, K_mat, baseline_fx, rounds=ba_iterations // 2 + 2,
         n_fixed=1, huber_delta=huber_delta,
-        reject_threshold=min(reject_threshold, 20.0),
+        reject_threshold=jnp.minimum(reject_threshold, 20.0),
     )
     alt_ok = jnp.isfinite(alt.cost) & (alt.cost <= alt.cost0)
     cons_mp, cons_poses = write_back(
