@@ -62,11 +62,15 @@ class TrackingParams:
     # PnP problem into a flat valley (the reference survives only because
     # cv2's tracker sheds features faster, forcing replenishment).
     kf_max_interval: int = 6
-    # Cap the depth (in baselines) of newly triangulated points: beyond
-    # ~100 baselines stereo depth error exceeds tens of percent and such
-    # points drag the pose. The reference has no gate (cheirality only,
-    # src/tracking.cpp:136).
-    max_depth_baselines: float = 100.0
+    # Cap the depth (in baselines) of newly triangulated points: far points
+    # carry large relative stereo depth error and drag translation. The
+    # reference has no gate at all (cheirality only, src/tracking.cpp:136).
+    # 200 baselines (~107 m at KITTI geometry): wide enough that open
+    # scenes whose entire texture sits 60-100 m out (box worlds in the
+    # multi-world suite) still triangulate — at 100 the pipeline collapsed
+    # there with nothing to track; far-point depth bias is bounded by the
+    # track age cap and the refinement's multi-view re-triangulation.
+    max_depth_baselines: float = 200.0
     # Retire tracks older than this many frames (0 disables). Under receding
     # motion features never leave the view (they shrink toward the image
     # center), so chained-KLT template drift and stale one-shot

@@ -200,26 +200,71 @@ def ransac_pnp(
     T_best = T_h[best]
     inliers0 = inl[best]
 
-    # --- 4. locally-optimized refinement (LO-RANSAC): alternate masked
-    # Gauss-Newton with inlier re-selection. A minimal DLT hypothesis is
-    # noisy and typically captures only a fraction of the true inliers;
-    # refining once on that biased subset leaves the pose off by ~0.5deg.
-    # Each round expands the consensus set and re-fits on it. ---
-    T_ref, inliers = T_best, inliers0
-    for _ in range(params.lo_rounds):
-        T_ref = _gn_refine(
-            K, T_ref, Xw, uv, inliers.astype(jnp.float32), params.refine_iters
+    # --- 4. locally-optimized refinement (LO-RANSAC) from MULTIPLE starts:
+    # the MSAC winner AND every provided prior pose. On degenerate geometry
+    # (quasi-planar far points during fast yaw — round-4 multi-world suite)
+    # every minimal DLT hypothesis is garbage, and a one-frame-stale prior
+    # is all-outlier at the threshold so it loses the raw MSAC vote — but
+    # masked GN converges from tens of px of reprojection error, so
+    # refining each candidate and judging by FINAL consensus recovers the
+    # pose that exists. The winner needs the largest refined inlier set
+    # (ties break toward lower truncated residual), so a drifted prior can
+    # only win after it has re-fit the actual measurements — the round-3
+    # failure mode (accepting the raw extrapolation, compounding its error)
+    # cannot recur. ---
+    def inliers_of(T):
+        err2_f, z_f = _reproj_errors(K, T, Xw, uv)
+        inl_f = (err2_f < thr2) & (z_f > 0) & valid
+        res2_f = jnp.where(z_f > 0, jnp.minimum(err2_f, thr2), thr2)
+        score = jnp.sum(jnp.where(valid, res2_f, 0.0))
+        return inl_f, score
+
+    def lo_from(T0, inl_seed):
+        T_ref = T0
+        inl = inl_seed
+        for _ in range(params.lo_rounds):
+            T_ref = _gn_refine(
+                K, T_ref, Xw, uv, inl.astype(jnp.float32),
+                params.refine_iters,
+            )
+            inl, _ = inliers_of(T_ref)
+        return T_ref, inl
+
+    cand_T = [T_best]
+    cand_inl = [inliers0]
+    if T_init is not None:
+        for i in range(T_init.shape[0]):
+            cand_T.append(T_init[i])
+            cand_inl.append(inliers_of(T_init[i])[0])
+    # refined candidates + the unrefined MSAC winner as a fallback
+    finals = [(T_best, inliers0)]
+    for T0, inl_seed in zip(cand_T, cand_inl):
+        finals.append(lo_from(T0, inl_seed))
+
+    T_final, inliers = finals[0]
+    best_count = jnp.sum(inliers)
+    _, best_score = inliers_of(T_final)
+    for T_c, inl_c in finals[1:]:
+        cnt = jnp.sum(inl_c)
+        _, score = inliers_of(T_c)
+        fin = jnp.all(jnp.isfinite(T_c))
+        better = fin & (
+            (cnt > best_count) | ((cnt == best_count) & (score < best_score))
         )
-        err2_f, z_f = _reproj_errors(K, T_ref, Xw, uv)
-        inliers = (err2_f < thr2) & (z_f > 0) & valid
-    # Fall back to the unrefined pose if refinement diverged.
-    worse = jnp.sum(inliers) < jnp.sum(inliers0)
-    T_final = jnp.where(worse, T_best, T_ref)
-    inliers = jnp.where(worse, inliers0, inliers)
+        T_final = jnp.where(better, T_c, T_final)
+        inliers = jnp.where(better, inl_c, inliers)
+        best_count = jnp.where(better, cnt, best_count)
+        best_score = jnp.where(better, score, best_score)
 
     n_valid = jnp.maximum(jnp.sum(validf), 1.0)
     ratio = jnp.sum(inliers.astype(jnp.float32)) / n_valid
-    ok = (counts[best] >= 6) & jnp.all(jnp.isfinite(T_final))
+    # Judge the FINAL consensus, not the selected minimal hypothesis's
+    # initial count: on degenerate geometry (e.g. quasi-planar far points
+    # during fast yaw) every 6-point DLT hypothesis can fall below 6
+    # inliers while LO refinement still converges to a pose with a large
+    # consensus — discarding that pose froze the pipeline into
+    # dead-reckoning and cascaded (round-4 multi-world suite, box-turns).
+    ok = (jnp.sum(inliers) >= 6) & jnp.all(jnp.isfinite(T_final))
     return PnPResult(
         T_wc=se3.inverse(T_final),
         inliers=inliers,

@@ -88,10 +88,38 @@ def bucketed_topk(
     flat_x = px.reshape(-1)
     flat_y = py.reshape(-1)
 
-    top_scores, top_i = jax.lax.top_k(flat_scores, min(max_out, flat_scores.shape[0]))
+    # ROUND-ROBIN allocation across cells with a SPATIAL-SPREAD order
+    # (round-4 robustness fix): rank candidates by within-cell rank first
+    # (every cell's best wins a slot before any cell's second-best), and
+    # WITHIN a rank by a golden-ratio permutation of the cell index rather
+    # than by score. A plain global top-k let one high-contrast region
+    # (e.g. an aliased far wall) absorb the whole budget and starve the
+    # near ground — which starved triangulation and collapsed the pipeline
+    # on turn-heavy worlds; score-ordering within the rank reproduced the
+    # same starvation whenever downstream slots truncate the list (the
+    # keyframe merge takes the first ~free-slot-count entries). The
+    # golden-ratio order makes ANY prefix of the output near-uniform over
+    # the image. This is the spatial-diversity semantics the reference's
+    # dead bucketing code intended (src/bucket.cpp:72-101), strengthened.
+    C = cells.shape[0]
+    rank = jnp.broadcast_to(
+        jnp.arange(k, dtype=jnp.float32)[None, :], cell_scores.shape
+    ).reshape(-1)
+    cell_of = jnp.broadcast_to(
+        jnp.arange(C, dtype=jnp.float32)[:, None], cell_scores.shape
+    ).reshape(-1)
+    spread = (cell_of * 0.6180339887) % 1.0
+    SPAN = 1e9
+    key = jnp.where(
+        flat_scores > 0.0,
+        -rank * SPAN + spread * (SPAN * 0.5),
+        -jnp.inf,
+    )
+    top_key, top_i = jax.lax.top_k(key, min(max_out, key.shape[0]))
+    top_scores = flat_scores[top_i]
     out_x = flat_x[top_i].astype(jnp.float32)
     out_y = flat_y[top_i].astype(jnp.float32)
-    valid = top_scores > 0.0
+    valid = jnp.isfinite(top_key) & (top_scores > 0.0)
 
     n = top_scores.shape[0]
     if n < max_out:

@@ -165,8 +165,17 @@ def _replenish(
     # 5. merge into the frame's feature table. Surviving tracked features
     #    RE-ANCHOR at this keyframe (their template generation rolls over —
     #    see TrackingParams.anchored_klt; harmless when anchoring is off).
+    #    New detections compete by SELECTION ORDER, not raw score: the
+    #    detector's output is spatially spread (ops/select.py round-robin +
+    #    golden-ratio order), and with ~N tracked survivors only a short
+    #    prefix of detections wins slots — ranking that prefix by score
+    #    would re-concentrate it on the highest-contrast region (round-4
+    #    multi-world failure: aliased far wall starving the near ground).
     feats = feats._replace(anchor=feats.pos)
-    feats = _merge_features(feats, det_pos, ids, det_score, new_valid)
+    det_prio = jnp.arange(
+        det_pos.shape[0], 0, -1, dtype=jnp.float32
+    )
+    feats = _merge_features(feats, det_pos, ids, det_prio, new_valid)
     return feats, mp
 
 
@@ -306,12 +315,15 @@ def step_body(
     # --- pose (reference: src/tracking.cpp:181-230) ---
     Xw = state.map.points[jnp.clip(tracked.point_id, 0)]
     rng, sub = jax.random.split(state.rng)
-    # Hypothesis seed: the PREVIOUS pose only (zero-velocity). Seeding with
-    # the constant-velocity extrapolation compounds: the prediction carries
-    # last frame's error forward, wins MSAC whenever the minimal hypotheses
-    # are noisy, and the rotation error grows exponentially (~x1.5/frame
-    # measured). The previous pose contracts error instead. The prediction
-    # is used only as the fallback when PnP fails outright (below).
+    # The PREVIOUS pose enters as an LO-refinement START, judged by final
+    # refined consensus (geometry/pnp.py) — this rescues fast rotation
+    # where every minimal hypothesis is degenerate (quasi-planar far
+    # points) because masked GN converges from tens of px of reprojection
+    # error. The constant-velocity EXTRAPOLATION is deliberately NOT a
+    # start: even consensus-judged it compounds (each frame's refined
+    # prediction revalidates the previous frame's error and the scale
+    # error grows ~40% over 600 frames, re-measured round 4); the previous
+    # pose contracts error instead.
     pres = ransac_pnp(
         camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
         T_init=se3.inverse(state.pose),
