@@ -25,7 +25,7 @@ parser.add_argument("--rank", type=int, required=True)
 parser.add_argument("--nprocs", type=int, required=True)
 parser.add_argument("--port", type=int, default=19788)
 parser.add_argument("--out", type=str, required=True)
-parser.add_argument("--frames", type=int, default=61)
+parser.add_argument("--frames", type=int, default=31)
 args = parser.parse_args()
 
 from svo_tpu.parallel import multihost  # noqa: E402

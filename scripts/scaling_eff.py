@@ -125,7 +125,7 @@ def measure_frontend() -> dict:
                 cmd = ["taskset", "-c", str(r)] + cmd
             procs.append(subprocess.Popen(cmd))
         for p in procs:
-            rc = p.wait(timeout=900)
+            rc = p.wait(timeout=1800)
             assert rc == 0, f"frontend worker exited {rc}"
         return [json.load(open(o)) for o in outs]
 

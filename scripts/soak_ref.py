@@ -52,9 +52,20 @@ ref = ReferenceCpuPipeline(
     np.asarray(camera.P_right)
 )
 
+# pre-rendered frame cache (scripts/render_cache.py)
+from render_cache import open_cache  # noqa: E402
+
+_cache = open_cache(args.frames, shape, 718.856, 0.3, 7)
+if _cache is not None:
+    log("using render cache")
+
 proc_s = 0.0
 for i in range(args.frames):
-    l, r = seq.frame(i)
+    if _cache is not None:
+        l = _cache[0][i].astype(np.float32)
+        r = _cache[1][i].astype(np.float32)
+    else:
+        l, r = seq.frame(i)
     t0 = time.perf_counter()
     ref.process(l, r)
     proc_s += time.perf_counter() - t0

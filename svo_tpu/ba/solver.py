@@ -284,6 +284,7 @@ def refine_alternate(
     n_fixed: int = 1,
     huber_delta: float = 5.0,
     reject_threshold: float = 20.0,
+    mono_weight: float = 0.25,
 ) -> BAResult:
     """Alternating resection-intersection refinement (round-4 conservative
     back-end path).
@@ -322,11 +323,20 @@ def refine_alternate(
         _, c = _robust_weights(r, ov, huber_delta, reject_threshold)
         return c
 
+    mono_row = problem.obs_uv[:, 2] < 0.0
+
     def point_step(T_cw, points):
         r, _, J_p = _residuals(
             K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
         )
         w, _ = _robust_weights(r, ov, huber_delta, reject_threshold)
+        # Down-weight MONO tracking observations against the birth STEREO
+        # row when re-triangulating: chained-track drift (the dominant
+        # receding-motion error) lives in the later mono measurements,
+        # while the stereo row is drift-free by construction. Without this
+        # the intersection step fits accumulated drift into the map and
+        # degrades already-good receding trajectories downstream.
+        w = w * jnp.where(mono_row, mono_weight, 1.0)
         wJ = J_p * w[:, None, None]
         Hpp = jnp.zeros((P, 3, 3), r.dtype).at[obs_pnt].add(
             jnp.einsum("oik,oil->okl", wJ, J_p)

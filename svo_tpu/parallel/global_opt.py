@@ -54,6 +54,7 @@ class RefineResult(NamedTuple):
     accepted: jnp.ndarray    # bool — span-wide cost gate verdict
     span_cost0: jnp.ndarray  # span reprojection cost before refinement
     span_cost: jnp.ndarray   # span reprojection cost of the refined state
+    cost_per_obs: jnp.ndarray  # mean initial robust cost per valid obs
 
 
 def block_span(n_blocks: int, cams_per_block: int) -> int:
@@ -188,7 +189,8 @@ def refine_global(
     return _gated_result(
         mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
         K_mat, baseline_fx, span, P_full, O_full, huber_delta,
-        reject_threshold,
+        reject_threshold, aggressive,
+        alt.cost0 / jnp.maximum(alt.n_obs, 1).astype(alt.cost0.dtype),
     )
 
 
@@ -281,7 +283,8 @@ def refine_global_sharded(
     return _gated_result(
         mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
         K_mat, baseline_fx, span, P_full, O_full,
-        huber_delta, reject_threshold,
+        huber_delta, reject_threshold, aggressive,
+        alt.cost0 / jnp.maximum(alt.n_obs, 1).astype(alt.cost0.dtype),
     )
 
 
@@ -437,6 +440,7 @@ def _consensus_and_writeback(
 def _gated_result(
     mp, poses_wc, frame_hi, cand_mp, cand_poses, frame_lo, res, pg,
     K_mat, baseline_fx, span, n_points, n_obs, huber_delta, reject_threshold,
+    aggressive, cost_per_obs,
 ):
     """Accept the refined (map, poses) only if BOTH span-cost checks pass:
 
@@ -467,12 +471,30 @@ def _gated_result(
         mp, cand_poses, frame_hi, K_mat, baseline_fx,
         span, n_points, n_obs, huber_delta, reject_threshold,
     )
-    accept = (
+    joint = (
         jnp.isfinite(cost1) & (cost1 <= cost0)
         & jnp.isfinite(cost1b) & (cost1b <= 2.0 * cost0)
     )
-    out_points = jnp.where(accept, cand_mp.points, mp.points)
-    out_poses = jnp.where(accept, cand_poses, poses_wc)
+    # CONSERVATIVE regime: decomposed acceptance (round-4). On a span the
+    # front-end already nailed, an accepted joint update perturbs the
+    # trajectory by the refinement noise floor (measured: reversed bench
+    # streams 0.11 -> 0.23 m). Points-only application carries zero
+    # trajectory risk AT REFINE TIME and still feeds future PnP (the soak
+    # mechanism), so points apply whenever they stand on their own against
+    # the ORIGINAL poses; poses move only when the joint candidate beats
+    # the points-only one by a real margin (>= 10%) — i.e. the trajectory
+    # is genuinely inconsistent, which is when correction is genuine.
+    cost_pp = _span_cost(
+        cand_mp, poses_wc, frame_hi, K_mat, baseline_fx,
+        span, n_points, n_obs, huber_delta, reject_threshold,
+    )
+    pts_only = jnp.isfinite(cost_pp) & (cost_pp <= cost0)
+    pose_gain = joint & (cost1 <= 0.9 * cost_pp)
+    acc_pts = jnp.where(aggressive, joint, pts_only | pose_gain)
+    acc_pose = jnp.where(aggressive, joint, pose_gain)
+    accept = acc_pts | acc_pose
+    out_points = jnp.where(acc_pts, cand_mp.points, mp.points)
+    out_poses = jnp.where(acc_pose, cand_poses, poses_wc)
     return RefineResult(
         map=mp._replace(points=out_points),
         poses=out_poses,
@@ -484,4 +506,5 @@ def _gated_result(
         accepted=accept,
         span_cost0=cost0,
         span_cost=cost1,
+        cost_per_obs=cost_per_obs,
     )
