@@ -285,6 +285,7 @@ def refine_alternate(
     huber_delta: float = 5.0,
     reject_threshold: float = 20.0,
     mono_weight: float = 0.25,
+    max_polish_span: int = 8,
 ) -> BAResult:
     """Alternating resection-intersection refinement (round-4 conservative
     back-end path).
@@ -325,6 +326,23 @@ def refine_alternate(
 
     mono_row = problem.obs_uv[:, 2] < 0.0
 
+    # Per-point polish gate by observation SPAN: a point observed across
+    # many frames of the window has accumulated chained-KLT drift in its
+    # later measurements (coherent, not noise — dominant under receding
+    # motion where features never leave the view), and re-fitting it bakes
+    # that drift into the map, bending the downstream trajectory. Young
+    # points' measurements are noise-dominated and polishing them helps.
+    # Points with span > max_polish_span keep their positions.
+    big = jnp.int32(1 << 20)
+    first_cam = jnp.full((P,), big, jnp.int32).at[obs_pnt].min(
+        jnp.where(ov, obs_cam, big)
+    )
+    last_cam = jnp.full((P,), -1, jnp.int32).at[obs_pnt].max(
+        jnp.where(ov, obs_cam, -1)
+    )
+    obs_span = jnp.maximum(last_cam - first_cam, 0)
+    polish_ok = problem.pnt_valid & (obs_span <= max_polish_span)
+
     def point_step(T_cw, points):
         r, _, J_p = _residuals(
             K_mat, baseline_fx, T_cw, points, obs_cam, obs_pnt, problem.obs_uv
@@ -349,7 +367,7 @@ def refine_alternate(
         ) * jnp.einsum("pii->p", Hpp)[:, None, None] / 3.0
         dp = -jnp.einsum("pij,pj->pi", inv3x3(Hd), bp)
         dp = jnp.where(
-            problem.pnt_valid[:, None] & jnp.all(jnp.isfinite(dp), -1, keepdims=True),
+            polish_ok[:, None] & jnp.all(jnp.isfinite(dp), -1, keepdims=True),
             dp, 0.0,
         )
         return points + dp

@@ -489,9 +489,8 @@ def _gated_result(
         span, n_points, n_obs, huber_delta, reject_threshold,
     )
     pts_only = jnp.isfinite(cost_pp) & (cost_pp <= cost0)
-    pose_gain = joint & (cost1 <= 0.9 * cost_pp)
-    acc_pts = jnp.where(aggressive, joint, pts_only | pose_gain)
-    acc_pose = jnp.where(aggressive, joint, pose_gain)
+    acc_pts = jnp.where(aggressive, joint, pts_only)
+    acc_pose = aggressive & joint
     accept = acc_pts | acc_pose
     out_points = jnp.where(acc_pts, cand_mp.points, mp.points)
     out_poses = jnp.where(acc_pose, cand_poses, poses_wc)
