@@ -39,6 +39,9 @@ parser.add_argument("--refine-every", type=int, default=0,
                          "pose-graph) every N chunks (0 = off)")
 parser.add_argument("--anchored", action="store_true",
                     help="keyframe-anchored KLT (TrackingParams.anchored_klt)")
+parser.add_argument("--ba", action="store_true",
+                    help="enable the in-pipeline keyframe-window BA "
+                         "(cfg.ba.enabled) for the quantification table")
 parser.add_argument("--device-window", type=int, default=80,
                     help="pre-stage this many mid-run chunks ON DEVICE and "
                          "time them exclusively — the chip-bound sustained "
@@ -78,11 +81,15 @@ def log(msg):
 
 seq = SyntheticSequence(n_frames=args.frames, shape=shape, fx=fx, speed=0.3)
 cfg = Config(use_orb=False, image_height=shape[0], image_width=shape[1])
-if args.anchored:
-    import dataclasses
+import dataclasses
 
+if args.anchored:
     cfg = dataclasses.replace(
         cfg, tracking=dataclasses.replace(cfg.tracking, anchored_klt=True)
+    )
+if args.ba:
+    cfg = dataclasses.replace(
+        cfg, ba=dataclasses.replace(cfg.ba, enabled=True)
     )
 
 # pre-rendered frame cache (scripts/render_cache.py): rendering dominates
