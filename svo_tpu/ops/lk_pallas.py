@@ -108,8 +108,13 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
                     jnp.minimum((x0 // 128) * 128, x0a_max), 128
                 )
                 span = src[0, pl.ds(y0a, py), pl.ds(x0a, 256)]
-                span = pltpu.roll(span, -(y0 - y0a), 0)
-                span = pltpu.roll(span, -(x0 - x0a), 1)
+                # canonicalize roll shifts to non-negative: a negative
+                # DYNAMIC shift on the sublane dim compiles but silently
+                # corrupts the data on this Mosaic (docs/mosaic_limits.md
+                # #5; the lane dim tolerated it in klt_pallas, the sublane
+                # dim does not — half the features died on garbage patches)
+                span = pltpu.roll(span, (py - (y0 - y0a)) % py, 0)
+                span = pltpu.roll(span, (256 - (x0 - x0a)) % 256, 1)
                 dst[pl.ds(k * py, py), :] = span[:, :px]
 
             t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
