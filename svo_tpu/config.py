@@ -41,6 +41,15 @@ class FastParams:
 
     threshold: int = 20
     nonMaxSuppression: bool = True
+    # Adaptive starvation floor (our robustness addition; the reference's
+    # fixed threshold=20 goes completely blind on genuinely weak-texture
+    # frames — box-fine-fast frames 127-139 have ZERO corners at 20, and the
+    # pipeline dead-reckons through a turn). Corners with margin in
+    # (min_threshold, threshold] form a WEAK tier that only fills detection
+    # slots the strong tier leaves free (ops/select.py strong_gap), so
+    # normally-textured frames are selected identically. Set equal to
+    # `threshold` to disable.
+    min_threshold: int = 5
 
 
 @dataclass(frozen=True)
@@ -80,6 +89,16 @@ class TrackingParams:
     # 30 frames (5 keyframe cadences): measured on the 8-stream bench to cut
     # reversed-stream ATE ~2x while slightly improving forward streams.
     max_track_age: int = 30
+    # Motion-sanity gate on the PnP solve: reject a pose stepping more than
+    # this many degrees of rotation from the previous frame's pose unless
+    # the inlier support is strong (>= sane_min_inliers AND ratio >= 0.5).
+    # On aliased near-textureless stretches (box-fine-fast) a handful of
+    # coherently mistracked features can form a consensus for a 8-20 deg
+    # single-frame rotation — physically impossible in the target domain
+    # (KITTI sharp corner ~3 deg/frame at 10 fps) — which poisons the whole
+    # downstream trajectory. 0 disables.
+    max_step_rot_deg: float = 5.0
+    sane_min_inliers: int = 25
     # Keyframe-anchored KLT: track every frame against the ANCHOR KEYFRAME's
     # template instead of chaining frame-to-frame. Both our tracker and cv2
     # carry a constant ~-0.02..-0.05 px flow measurement bias on real
@@ -122,6 +141,22 @@ class RansacParams:
     reproj_threshold: float = 8.0
     refine_iters: int = 4     # Gauss-Newton iterations per LO round
     lo_rounds: int = 2        # refine <-> inlier-reselect alternations (LO-RANSAC)
+    # Threshold-annealed LO (Lebeda-style multiplier schedule): each LO round
+    # r selects inliers at lo_anneal[r] * reproj_threshold before its GN
+    # pass; the FINAL consensus is always judged at the strict threshold.
+    # Rescues the previous-pose candidate during fast rotation: at ~1.7
+    # deg/frame of yaw its reprojections sit ~20 px out, where a strict
+    # 8 px seed mask is EMPTY and masked GN cannot move (the round-4
+    # box-world collapse: every minimal DLT hypothesis is degenerate on far
+    # quasi-planar structure — median 0 inliers — so PnP success was a
+    # Gumbel-draw lottery, scripts/probe_pnp_turn.py). The wide first gate
+    # admits the whole smooth error field, GN contracts it, and the
+    # schedule re-tightens to the strict gate deterministically.
+    lo_anneal: tuple = (4.0, 2.0, 1.0)
+    # The annealed candidate is adopted only when its strict consensus
+    # beats the best strict candidate's by this factor (+2): a rescue for
+    # tracking collapse, not a per-frame competitor (see geometry/pnp.py).
+    rescue_margin: float = 1.25
 
 
 @dataclass(frozen=True)

@@ -212,34 +212,50 @@ def ransac_pnp(
     # only win after it has re-fit the actual measurements — the round-3
     # failure mode (accepting the raw extrapolation, compounding its error)
     # cannot recur. ---
-    def inliers_of(T):
+    def inliers_of(T, mult: float = 1.0):
         err2_f, z_f = _reproj_errors(K, T, Xw, uv)
-        inl_f = (err2_f < thr2) & (z_f > 0) & valid
+        t2 = thr2 * (mult * mult)
+        inl_f = (err2_f < t2) & (z_f > 0) & valid
         res2_f = jnp.where(z_f > 0, jnp.minimum(err2_f, thr2), thr2)
         score = jnp.sum(jnp.where(valid, res2_f, 0.0))
         return inl_f, score
 
-    def lo_from(T0, inl_seed):
+    def lo_from(T0, schedule):
+        """Local optimization with a threshold-multiplier schedule: each
+        round selects inliers at schedule[r] * threshold, runs GN on the
+        selection, re-selects. schedule == (1,)*lo_rounds is classic strict
+        LO-RANSAC; a descending schedule (lo_anneal) is the wide-gate rescue
+        (see RansacParams.lo_anneal). The returned inlier set is always
+        judged at the strict threshold."""
         T_ref = T0
-        inl = inl_seed
-        for _ in range(params.lo_rounds):
+        for mult in schedule:
+            sel, _ = inliers_of(T_ref, mult)
             T_ref = _gn_refine(
-                K, T_ref, Xw, uv, inl.astype(jnp.float32),
+                K, T_ref, Xw, uv, sel.astype(jnp.float32),
                 params.refine_iters,
             )
-            inl, _ = inliers_of(T_ref)
+        inl, _ = inliers_of(T_ref)
         return T_ref, inl
 
-    cand_T = [T_best]
-    cand_inl = [inliers0]
+    strict = (1.0,) * params.lo_rounds
+    # Candidate pool: the unrefined MSAC winner (fallback), strict LO from
+    # the MSAC winner and from each prior (the round-4 shipping design), and
+    # an ANNEALED-gate LO from each prior as a RESCUE. The annealed rescue
+    # handles fast rotation (prior ~20 px out -> strict seed mask empty ->
+    # GN frozen -> PnP success was a Gumbel-draw lottery over degenerate DLT
+    # hypotheses; scripts/probe_pnp_turn.py). It is adopted ONLY when its
+    # final strict consensus beats the best strict candidate by a clear
+    # margin: on weak texture the wide gate admits coherently-drifted tracks
+    # and the dragged pose wins strict-count TIES via the residual
+    # tie-break (corridor-lowtex 0.15 -> 0.47 m when annealed candidates
+    # competed as equals), while in a genuine tracking collapse the margin
+    # is enormous (strict best ~2-16 inliers, rescue ~90).
+    finals = [(T_best, inliers0), lo_from(T_best, strict)]
+    rescues = []
     if T_init is not None:
         for i in range(T_init.shape[0]):
-            cand_T.append(T_init[i])
-            cand_inl.append(inliers_of(T_init[i])[0])
-    # refined candidates + the unrefined MSAC winner as a fallback
-    finals = [(T_best, inliers0)]
-    for T0, inl_seed in zip(cand_T, cand_inl):
-        finals.append(lo_from(T0, inl_seed))
+            finals.append(lo_from(T_init[i], strict))
+            rescues.append(lo_from(T_init[i], tuple(params.lo_anneal)))
 
     T_final, inliers = finals[0]
     best_count = jnp.sum(inliers)
@@ -256,6 +272,17 @@ def ransac_pnp(
         best_count = jnp.where(better, cnt, best_count)
         best_score = jnp.where(better, score, best_score)
 
+    for T_c, inl_c in rescues:
+        cnt = jnp.sum(inl_c)
+        fin = jnp.all(jnp.isfinite(T_c))
+        better = fin & (
+            cnt.astype(jnp.float32)
+            >= params.rescue_margin * best_count.astype(jnp.float32) + 2.0
+        )
+        T_final = jnp.where(better, T_c, T_final)
+        inliers = jnp.where(better, inl_c, inliers)
+        best_count = jnp.where(better, cnt, best_count)
+
     n_valid = jnp.maximum(jnp.sum(validf), 1.0)
     ratio = jnp.sum(inliers.astype(jnp.float32)) / n_valid
     # Judge the FINAL consensus, not the selected minimal hypothesis's
@@ -264,7 +291,11 @@ def ransac_pnp(
     # inliers while LO refinement still converges to a pose with a large
     # consensus — discarding that pose froze the pipeline into
     # dead-reckoning and cascaded (round-4 multi-world suite, box-turns).
-    ok = (jnp.sum(inliers) >= 6) & jnp.all(jnp.isfinite(T_final))
+    # The floor scales with the live correspondence count (ADVICE r04): a
+    # GN-polished pose fitting 6 of hundreds is a mistrack, not a solution.
+    n_inl = jnp.sum(inliers)
+    floor = jnp.maximum(6.0, 0.1 * jnp.sum(validf))
+    ok = (n_inl.astype(jnp.float32) >= floor) & jnp.all(jnp.isfinite(T_final))
     return PnPResult(
         T_wc=se3.inverse(T_final),
         inliers=inliers,

@@ -29,8 +29,16 @@ def detect_fast(
     suppress: jnp.ndarray | None,
     cfg: Config,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Single-scale FAST detection -> (pos (D,2), score (D,), valid (D,))."""
-    score = fast.fast_score(img, threshold)
+    """Single-scale FAST detection -> (pos (D,2), score (D,), valid (D,)).
+
+    Detects at FastParams.min_threshold and splits candidates into a strong
+    tier (margin above `threshold`, the reference's fixed gate) and a weak
+    tier that only claims leftover slots (see select.bucketed_topk
+    strong_gap) — the starvation rescue for near-textureless frames. The
+    score is one dense pass either way: fast_score margins at the low gate
+    minus the gap equal margins at the normal gate exactly."""
+    low = min(float(cfg.fast_params.min_threshold), threshold)
+    score = fast.fast_score(img, low)
     score = nms.nms3x3(score)
     if suppress is not None:
         score = jnp.where(suppress, 0.0, score)
@@ -40,6 +48,7 @@ def detect_fast(
             cfg.bucket.bucket_size,
             cfg.bucket.features_per_bucket,
             cfg.capacity.max_detections,
+            strong_gap=threshold - low,
         )
     return select.global_topk(score, cfg.capacity.max_detections)
 

@@ -56,6 +56,7 @@ def bucketed_topk(
     bucket_size: int,
     per_bucket: int,
     max_out: int,
+    strong_gap: float = 0.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Select up to max_out features, at most per_bucket per grid cell.
 
@@ -64,6 +65,14 @@ def bucketed_topk(
         bucket_size: cell side in pixels.
         per_bucket: per-cell cap.
         max_out: output slots.
+        strong_gap: two-tier split — candidates with score > strong_gap form
+            the STRONG tier and occupy the front of the selection order;
+            candidates in (0, strong_gap] are the WEAK tier, appended after
+            every strong one. With scores from fast.fast_score at a lowered
+            threshold, strong_gap = (normal - low) makes the strong tier
+            exactly the normal-threshold detections, and weak corners only
+            claim slots the strong tier leaves free (adaptive-threshold
+            starvation rescue; 0 disables = single tier).
     Returns:
         pos (max_out, 2) float32 (x, y); score (max_out,); valid (max_out,).
     """
@@ -101,25 +110,26 @@ def bucketed_topk(
     # golden-ratio order makes ANY prefix of the output near-uniform over
     # the image. This is the spatial-diversity semantics the reference's
     # dead bucketing code intended (src/bucket.cpp:72-101), strengthened.
+    # The key is an INT32 composite (tier, rank, cell-spread) — float
+    # magnitude mixing collapsed within-rank order to ties at fine grids
+    # (ADVICE r04): priority = tier * T + rank, ordered ascending, with the
+    # golden-ratio cell permutation breaking ties within a (tier, rank)
+    # level. C*k is at most a few thousand, so the composite is exact.
     C = cells.shape[0]
     rank = jnp.broadcast_to(
-        jnp.arange(k, dtype=jnp.float32)[None, :], cell_scores.shape
+        jnp.arange(k, dtype=jnp.int32)[None, :], cell_scores.shape
     ).reshape(-1)
-    cell_of = jnp.broadcast_to(
-        jnp.arange(C, dtype=jnp.float32)[:, None], cell_scores.shape
-    ).reshape(-1)
-    spread = (cell_of * 0.6180339887) % 1.0
-    SPAN = 1e9
-    key = jnp.where(
-        flat_scores > 0.0,
-        -rank * SPAN + spread * (SPAN * 0.5),
-        -jnp.inf,
-    )
+    cell_of = jnp.arange(C, dtype=jnp.float32)
+    spread = jnp.floor(((cell_of * 0.6180339887) % 1.0) * C).astype(jnp.int32)
+    spread = jnp.broadcast_to(spread[:, None], cell_scores.shape).reshape(-1)
+    weak = (flat_scores <= strong_gap).astype(jnp.int32) if strong_gap > 0 else 0
+    prio = (weak * k + rank) * (C + 1) + spread  # ascending = better first
+    key = jnp.where(flat_scores > 0.0, -prio, jnp.iinfo(jnp.int32).min)
     top_key, top_i = jax.lax.top_k(key, min(max_out, key.shape[0]))
     top_scores = flat_scores[top_i]
     out_x = flat_x[top_i].astype(jnp.float32)
     out_y = flat_y[top_i].astype(jnp.float32)
-    valid = jnp.isfinite(top_key) & (top_scores > 0.0)
+    valid = (top_key > jnp.iinfo(jnp.int32).min) & (top_scores > 0.0)
 
     n = top_scores.shape[0]
     if n < max_out:

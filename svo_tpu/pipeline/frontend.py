@@ -328,14 +328,48 @@ def step_body(
         camera.K, Xw, tracked.pos, tracked.valid, sub, cfg.ransac,
         T_init=se3.inverse(state.pose),
     )
-    pose = jnp.where(pres.ok, pres.T_wc, T_wc_pred)
+    pnp_ok = pres.ok
+    if cfg.tracking.max_step_rot_deg > 0:
+        # Motion-sanity gate (TrackingParams.max_step_rot_deg): a WEAK
+        # consensus must agree with the constant-velocity prediction.
+        # On aliased near-textureless stretches (box-fine-fast) a handful
+        # of coherently mistracked features votes in physically impossible
+        # single-frame rotations OR a false zero-motion lock (repeating
+        # texture -> KLT locks each feature one block off / in place ->
+        # high-consensus "camera stopped" while moving 0.6 m/frame); both
+        # poison the trajectory far beyond the blackout itself. Solutions
+        # with strong support (>= sane_min_inliers AND ratio >= 0.5) are
+        # always accepted — a genuine stop in a textured scene keeps its
+        # abundant inliers.
+        rel_step = se3.compose(pres.T_wc, se3.inverse(state.pose))
+        rel_pred = jnp.where(
+            state.prior_ok, state.rel_motion,
+            jnp.eye(4, dtype=state.pose.dtype),
+        )
+        cos_a = jnp.clip(
+            (rel_step[0, 0] + rel_step[1, 1] + rel_step[2, 2] - 1.0) * 0.5,
+            -1.0, 1.0,
+        )
+        step_deg = jnp.degrees(jnp.arccos(cos_a))
+        # false-lock signature: near-zero claimed motion while the healthy
+        # prediction says we are moving
+        not_locked = jnp.linalg.norm(rel_step[:3, 3]) >= 0.3 * jnp.linalg.norm(
+            rel_pred[:3, 3]
+        )
+        n_inl = jnp.sum(pres.inliers.astype(jnp.int32))
+        strong = (n_inl >= cfg.tracking.sane_min_inliers) & (
+            pres.inlier_ratio >= 0.5
+        )
+        sane = (step_deg <= cfg.tracking.max_step_rot_deg) & not_locked
+        pnp_ok = pnp_ok & (sane | strong)
+    pose = jnp.where(pnp_ok, pres.T_wc, T_wc_pred)
     # hard guard: never let a non-finite pose poison the recursive state
     pose = jnp.where(jnp.all(jnp.isfinite(pose)), pose, state.pose)
     rel_motion = se3.compose(pose, se3.inverse(state.pose))
     rel_motion = jnp.where(
         jnp.all(jnp.isfinite(rel_motion)), rel_motion, jnp.eye(4, dtype=pose.dtype)
     )
-    pnp_healthy = pres.ok & (pres.inlier_ratio > 0.5)
+    pnp_healthy = pnp_ok & (pres.inlier_ratio > 0.5)
 
     # Purge features whose map point has gone geometrically stale under the
     # new pose (behind the camera / out of view): such points carry amplified
@@ -360,7 +394,14 @@ def step_body(
         # pre-replenish), so its slot refills with a fresh detection in the
         # same step instead of idling through a track-only cadence group.
         geom_ok = geom_ok & (tracked.age < cfg.tracking.max_track_age)
-    feats = tracked._replace(valid=tracked.valid & pres.inliers & geom_ok)
+    # Outlier purge (reference: src/tracking.cpp:218-229) — but ONLY from an
+    # ACCEPTED solve. A failed PnP's inlier mask is near-empty; purging with
+    # it wiped every live track and locked the pipeline into a
+    # dead-reckoning death spiral until the next keyframe (round-4
+    # box-turns collapse, scripts/probe_pnp_turn.py). On failure the tracked
+    # set survives intact so the next frame can try again.
+    inl_keep = jnp.where(pnp_ok, pres.inliers, tracked.valid)
+    feats = tracked._replace(valid=tracked.valid & inl_keep & geom_ok)
 
     # record tracking observations for BA
     mp = _record_obs(state.map, feats.pos, feats.point_id, feats.valid, fid)
