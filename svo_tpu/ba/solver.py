@@ -275,7 +275,7 @@ def solve_ba(
     )
 
 
-@partial(jax.jit, static_argnames=("rounds", "n_fixed"))
+@partial(jax.jit, static_argnames=("rounds", "n_fixed", "points_only"))
 def refine_alternate(
     problem: BAProblem,
     K_mat: jnp.ndarray,
@@ -286,6 +286,7 @@ def refine_alternate(
     reject_threshold: float = 20.0,
     mono_weight: float = 0.25,
     max_polish_span: int = 8,
+    points_only: bool = False,
 ) -> BAResult:
     """Alternating resection-intersection refinement (round-4 conservative
     back-end path).
@@ -402,11 +403,17 @@ def refine_alternate(
         points = jnp.where(ok1, pts_new, points)
         cost = jnp.where(ok1, c1, cost)
 
-        T_new = pose_step(T_cw, points)
-        c2 = cost_at(T_new, points)
-        ok2 = jnp.isfinite(c2) & (c2 <= cost)
-        T_cw = jnp.where(ok2, T_new, T_cw)
-        cost = jnp.where(ok2, c2, cost)
+        # points_only (the conservative global-refinement path): the caller
+        # only ever applies the point half (ADVICE r04: its pose output was
+        # dead compute), and intersection against the UNMOVED shipped poses
+        # keeps the polished map maximally consistent with the trajectory
+        # the front-end will extend.
+        if not points_only:
+            T_new = pose_step(T_cw, points)
+            c2 = cost_at(T_new, points)
+            ok2 = jnp.isfinite(c2) & (c2 <= cost)
+            T_cw = jnp.where(ok2, T_new, T_cw)
+            cost = jnp.where(ok2, c2, cost)
         return (T_cw, points, cost), None
 
     cost0 = cost_at(problem.T_cw, problem.points)

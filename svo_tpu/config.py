@@ -151,8 +151,10 @@ class RansacParams:
     # quasi-planar structure — median 0 inliers — so PnP success was a
     # Gumbel-draw lottery, scripts/probe_pnp_turn.py). The wide first gate
     # admits the whole smooth error field, GN contracts it, and the
-    # schedule re-tightens to the strict gate deterministically.
-    lo_anneal: tuple = (4.0, 2.0, 1.0)
+    # schedule re-tightens to the strict gate deterministically. Two rounds
+    # (4x then strict) measure as accurate as (4,2,1) on the box worlds and
+    # cost one GN round less per frame.
+    lo_anneal: tuple = (4.0, 1.0)
     # The annealed candidate is adopted only when its strict consensus
     # beats the best strict candidate's by this factor (+2): a rescue for
     # tracking collapse, not a per-frame competitor (see geometry/pnp.py).

@@ -91,6 +91,21 @@ def make_world(rng, kind: str = "corridor") -> list[Plane]:
             Plane([-10, 0, 0], [1, 0, 0], [0, 0, 1], tex(rng, **t)),
             Plane([10, 0, 0], [-1, 0, 0], [0, 0, 1], tex(rng, **t)),
         ]
+    if kind == "atrium":
+        # round-5 HELD-OUT world (never tuned on): a 60 m room whose walls
+        # carry DIFFERENT texture statistics — coarse low-contrast left,
+        # heavy-blur lowtex right, fine back, default front — so a yawing
+        # camera sweeps across texture regimes mid-rotation.
+        return [
+            Plane([0, 1.7, 0], [0, -1, 0], [1, 0, 0], tex(rng), 0.15),
+            Plane([-30, 0, 0], [1, 0, 0], [0, 0, 1],
+                  tex(rng, cell=16, fine_amp=8.0), 0.15),
+            Plane([30, 0, 0], [-1, 0, 0], [0, 0, 1],
+                  tex(rng, lo=85.0, hi=170.0, fine_amp=6.0, blur=3), 0.15),
+            Plane([0, 0, 70], [0, 0, -1], [1, 0, 0],
+                  tex(rng, cell=4, fine_amp=20.0), 0.1),
+            Plane([0, 0, -30], [0, 0, 1], [1, 0, 0], tex(rng), 0.15),
+        ]
     raise ValueError(f"unknown world kind: {kind}")
 
 
@@ -113,6 +128,10 @@ def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06,
               of the run, wobble overlaid — sustained-rotation content.
     - loop    constant yaw rate closing a full circle over the run
               (radius = n*speed / 2pi) — continuous rotation + revisits.
+    - slalom  large-amplitude alternating heading sweeps
+              (yaw = 0.5 sin(2pi * 2.5 i / n), ~+-29 deg, five reversals)
+              — sustained rotation that REVERSES direction, round-5
+              held-out content.
     """
     poses = np.zeros((n_frames, 4, 4))
     pos = np.zeros(3)
@@ -131,6 +150,8 @@ def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06,
             yaw += turn_profile(i)
         elif kind == "loop":
             yaw += 2 * np.pi * i / max(n_frames - 1, 1)
+        elif kind == "slalom":
+            yaw += 0.5 * np.sin(2 * np.pi * 2.5 * i / max(n_frames - 1, 1))
         c, s = np.cos(yaw), np.sin(yaw)
         R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         poses[i] = np.eye(4)

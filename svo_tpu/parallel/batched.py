@@ -154,9 +154,10 @@ class BatchedStereoVO:
         pg_iterations: int = 10,
     ):
         # defaults match refine_global's (span 22, 8 alternation rounds):
-        # the r04 accuracy campaign validated THESE settings (97-frame
-        # fwd/rev refined beats unrefined; soak 0.095%) — the previous
-        # wider-span/fewer-iterations combination degraded short spans
+        # validated by the r04/r05 soak artifacts (SOAK_r04: 0.120% of
+        # traveled with refine vs 0.128% without, at these defaults) — the
+        # previous wider-span/fewer-iterations combination degraded short
+        # spans
         """Build the jitted per-stream global refiner: keyframe-block BA +
         pose-graph consensus (parallel/global_opt.refine_global) vmapped over
         the S streams, updating poses, map points, AND the recursive current
