@@ -59,26 +59,40 @@ from jax import custom_batching
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BF = 32         # features per grid step
+_BF = 16         # features per grid step: scratch + lane-padded row-fold
+#                  intermediates scale with BF*py; 16 keeps the kernel's
+#                  true VMEM need inside XLA's default 16 MB scoped budget
+#                  so the call coexists with real pipeline programs (32
+#                  OOM'd once images stopped being VMEM windows)
 _PX = 64         # patch cols held in scratch (loads are 256-lane spans)
 _PAD_ROWS = 64   # scratch row pad so every y-tap shift slices in-bounds
 _TT_T = 4        # template taps: exact-corner offsets are < 1 except at
 #                  image-border clamps, where the feature dies anyway
 
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+# NO explicit vmem_limit_bytes: XLA charges the DECLARED limit itself as
+# the custom call's scoped allocation (measured: every compile failure's
+# "scoped allocation size" was exactly limit + coexisting stack bytes, at
+# 32, 56 and 96 MB declared), so an oversized limit OOMs programs that
+# would fit. With images in HBM (round-5 DMA redesign) the kernel's true
+# VMEM need is ~1.8 MB (4 scratch bands + 2x4 staging spans) and the
+# default budget suffices.
+_COMPILER_PARAMS = None
 
 
 def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
             out_ref, *,
             bf, py, px, wt, iw, ht, w, mx, my, n_total, batched, max_iters,
-            eps, min_eig_threshold, t_scr, gx_scr, gy_scr, c_scr):
+            eps, min_eig_threshold, t_scr, gx_scr, gy_scr, c_scr,
+            stage, sems):
     if batched:
         s = pl.program_id(0)
         blk = pl.program_id(1)
         base = s * n_total
+        sidx = s
     else:
         blk = pl.program_id(0)
         base = 0
+        sidx = 0
     x0a_max = wt - 256
     ttx = 2 * mx + 2               # x iteration taps; travel Rx = 2*mx
     tty = 2 * my + 2               # y iteration taps; travel Ry = 2*my
@@ -86,59 +100,90 @@ def _kernel(flt_ref, prev_ref, gx_ref, gy_ref, curr_ref, fltv_ref,
     L = bf * py + _PAD_ROWS        # scratch rows
     Lc = bf * py                   # y-shifted slice length
     f32 = jnp.float32
+    srcs = (prev_ref, gx_ref, gy_ref, curr_ref)
+    dsts = (t_scr, gx_scr, gy_scr, c_scr)
 
-    # ---- per-feature setup: load + roll all four patches to an EXACT
-    # integer corner (template: floor of the window top-left; current:
-    # floor minus the travel margins), zero dead slots and the row pad ----
-    def setup(k, _):
+    # ---- per-feature setup, DMA double-buffered (round-5 redesign): the
+    # images live in HBM (memory_space=ANY) — the previous design's
+    # full-image VMEM windows cost ~44 MB of scoped vmem at S=8 and made
+    # XLA re-stream 4 x 2.2 MB per grid step, which is where the "fused
+    # kernel 3x slower than the XLA path" of round 4 actually went (probe:
+    # the kernel body itself runs in ~0.05 ms). Each feature's four
+    # (py, 256) spans are DMA'd into a 2-slot staging scratch; feature k+1's
+    # DMAs are issued BEFORE consuming feature k, so the copies overlap the
+    # roll/store work and the steady-state setup cost is max(DMA, VPU). ----
+    def corners(k):
         f = (base + blk * bf + k) * 6
         tx = flt_ref[f]            # template window top-left (x, y), float
         ty = flt_ref[f + 1]
         cx = flt_ref[f + 2]        # current window top-left at the guess
         cy = flt_ref[f + 3]
         live = flt_ref[f + 4]
+        t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
+        t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
+        c_iy = jnp.clip(jnp.floor(cy).astype(jnp.int32) - my, 0, ht - py)
+        c_ix = jnp.clip(jnp.floor(cx).astype(jnp.int32) - mx, 0, iw - px)
+        ys = (t_iy, t_iy, t_iy, c_iy)
+        xs = (t_ix, t_ix, t_ix, c_ix)
+        return ys, xs, live
+
+    def aligned(y0, x0):
+        y0a = pl.multiple_of((y0 // 8) * 8, 8)
+        x0a = pl.multiple_of(jnp.minimum((x0 // 128) * 128, x0a_max), 128)
+        return y0a, x0a
+
+    def issue(k, slot):
+        ys, xs, _ = corners(k)
+        for i in range(4):
+            y0a, x0a = aligned(ys[i], xs[i])
+            pltpu.make_async_copy(
+                srcs[i].at[sidx, pl.ds(y0a, py), pl.ds(x0a, 256)],
+                stage.at[slot, i],
+                sems.at[slot, i],
+            ).start()
+
+    def consume(k, slot):
+        ys, xs, live = corners(k)
+        for i in range(4):
+            y0a, x0a = aligned(ys[i], xs[i])
+            pltpu.make_async_copy(
+                srcs[i].at[sidx, pl.ds(y0a, py), pl.ds(x0a, 256)],
+                stage.at[slot, i],
+                sems.at[slot, i],
+            ).wait()
 
         @pl.when(live > 0)
         def _():
-            def load(src, dst, y0, x0):
-                """Place src[y0:y0+py, x0:x0+px] at dst rows [k*py, ...),
-                rows/cols exact (y0, x0 pre-clamped ints)."""
-                y0a = pl.multiple_of((y0 // 8) * 8, 8)
-                x0a = pl.multiple_of(
-                    jnp.minimum((x0 // 128) * 128, x0a_max), 128
-                )
-                span = src[0, pl.ds(y0a, py), pl.ds(x0a, 256)]
+            for i in range(4):
+                y0a, x0a = aligned(ys[i], xs[i])
+                span = stage[slot, i]
                 # canonicalize roll shifts to non-negative: a negative
                 # DYNAMIC shift on the sublane dim compiles but silently
                 # corrupts the data on this Mosaic (docs/mosaic_limits.md
                 # #5; the lane dim tolerated it in klt_pallas, the sublane
-                # dim does not — half the features died on garbage patches)
-                span = pltpu.roll(span, (py - (y0 - y0a)) % py, 0)
-                span = pltpu.roll(span, (256 - (x0 - x0a)) % 256, 1)
-                dst[pl.ds(k * py, py), :] = span[:, :px]
-
-            t_iy = jnp.clip(jnp.floor(ty).astype(jnp.int32), 0, ht - py)
-            t_ix = jnp.clip(jnp.floor(tx).astype(jnp.int32), 0, iw - px)
-            c_iy = jnp.clip(
-                jnp.floor(cy).astype(jnp.int32) - my, 0, ht - py
-            )
-            c_ix = jnp.clip(
-                jnp.floor(cx).astype(jnp.int32) - mx, 0, iw - px
-            )
-            load(prev_ref, t_scr, t_iy, t_ix)
-            load(gx_ref, gx_scr, t_iy, t_ix)
-            load(gy_ref, gy_scr, t_iy, t_ix)
-            load(curr_ref, c_scr, c_iy, c_ix)
+                # dim does not)
+                span = pltpu.roll(span, (py - (ys[i] - y0a)) % py, 0)
+                span = pltpu.roll(span, (256 - (xs[i] - x0a)) % 256, 1)
+                dsts[i][pl.ds(k * py, py), :] = span[:, :px]
 
         @pl.when(live <= 0)
         def _():
             # dead slots still flow through the batched math below; zero
             # patches keep their G singular and every flag false
             z = jnp.zeros((py, px), f32)
-            t_scr[pl.ds(k * py, py), :] = z
-            gx_scr[pl.ds(k * py, py), :] = z
-            gy_scr[pl.ds(k * py, py), :] = z
-            c_scr[pl.ds(k * py, py), :] = z
+            for i in range(4):
+                dsts[i][pl.ds(k * py, py), :] = z
+
+    issue(0, 0)
+
+    def setup(k, _):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(k + 1 < bf)
+        def _():
+            issue(k + 1, jax.lax.rem(k + 1, 2))
+
+        consume(k, slot)
         return 0
 
     jax.lax.fori_loop(0, bf, setup, 0)
@@ -347,43 +392,50 @@ def _call(imgs, flt, fltv, *, n_total, py, wt, iw, ht, w, mx, my, max_iters,
         min_eig_threshold=min_eig_threshold,
     )
     scratch = [pltpu.VMEM((_BF * py + _PAD_ROWS, _PX), jnp.float32)] * 4
+    # DMA staging: 2 slots x 4 images of (py, 256) spans + matching sems
+    scratch += [
+        pltpu.VMEM((2, 4, py, 256), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, 4)),
+    ]
+    # images stay in HBM (forced — ANY lets the compiler pick VMEM and it
+    # does): the kernel DMAs per-feature spans itself — full-image VMEM
+    # windows cost ~44 MB scoped vmem at S=8 and dominated the in-pipeline
+    # runtime (round-4 "setup loop" misdiagnosis)
+    img_spec = pl.BlockSpec(memory_space=pltpu.HBM)
     if batched:
         grid = (S, n_total // _BF)
-        img_spec = pl.BlockSpec(
-            (1, H, W), lambda s, f, *_: (s, 0, 0), memory_space=pltpu.VMEM
-        )
         blk8_spec = pl.BlockSpec(
             (1, _BF, 8), lambda s, f, *_: (s, f, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((S, n_total, 8), jnp.float32)
     else:
         grid = (n_total // _BF,)
-        img_spec = pl.BlockSpec(
-            (1, H, W), lambda f, *_: (0, 0, 0), memory_space=pltpu.VMEM
-        )
         blk8_spec = pl.BlockSpec(
             (1, _BF, 8), lambda f, *_: (0, f, 0), memory_space=pltpu.VMEM
         )
         out_shape = jax.ShapeDtypeStruct((1, n_total, 8), jnp.float32)
         imgs = [i[None] if i.ndim == 2 else i for i in imgs]
         fltv = fltv[None]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=grid,
-        in_specs=[img_spec] * 4 + [blk8_spec],
-        out_specs=blk8_spec,
-        scratch_shapes=scratch,
-    )
+    # Plain in_specs (NOT PrefetchScalarGridSpec): the legacy prefetch grid
+    # spec ignores memory_space on image specs and windows the full array
+    # into VMEM regardless (measured: 50.6 MB scoped vmem at S=8 with HBM
+    # requested). The per-feature scalars ride an SMEM full-array spec
+    # instead — scalar reads in the setup loop work the same.
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     def wrapped(flt_ref, prev, gx, gy, curr, fltv_r, out,
-                t_s, gx_s, gy_s, c_s):
+                t_s, gx_s, gy_s, c_s, stage, sems):
         kern(flt_ref, prev, gx, gy, curr, fltv_r, out,
-             t_scr=t_s, gx_scr=gx_s, gy_scr=gy_s, c_scr=c_s)
+             t_scr=t_s, gx_scr=gx_s, gy_scr=gy_s, c_scr=c_s,
+             stage=stage, sems=sems)
 
     return pl.pallas_call(
         wrapped,
-        grid_spec=grid_spec,
+        grid=grid,
+        in_specs=[smem_spec] + [img_spec] * 4 + [blk8_spec],
+        out_specs=blk8_spec,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(flt, *imgs, fltv)
@@ -399,9 +451,15 @@ def _make_track(py: int, w: int, mx: int, my: int, max_iters: int,
         N = valid.shape[0]
         n_pad = (-N) % _BF
         wt = ((W + 127) // 128) * 128
+        # pad widths to the lane tile: every (py, 256) span DMA the kernel
+        # issues is then in-bounds of the logical array
+        imgs = [
+            jnp.pad(a, ((0, 0), (0, wt - W))) if wt != W else a
+            for a in (prev, gx, gy, curr)
+        ]
         flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
-            [prev, gx, gy, curr], flt, fltv,
+            imgs, flt, fltv,
             n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w, mx=mx, my=my,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
@@ -424,9 +482,13 @@ def _make_track(py: int, w: int, mx: int, my: int, max_iters: int,
         N = valid.shape[1]
         n_pad = (-N) % _BF
         wt = ((W + 127) // 128) * 128
+        imgs = [
+            jnp.pad(a, ((0, 0), (0, 0), (0, wt - W))) if wt != W else a
+            for a in (prev, gx, gy, curr)
+        ]
         flt, fltv = _pack_floats(t_tl, c_tl, valid, n_pad)
         out = _call(
-            [prev, gx, gy, curr], flt, fltv,
+            imgs, flt, fltv,
             n_total=N + n_pad, py=py, wt=wt, iw=W, ht=H, w=w, mx=mx, my=my,
             max_iters=max_iters, eps=eps,
             min_eig_threshold=min_eig_threshold,
