@@ -307,8 +307,11 @@ result = {
         "calls": refine_calls,
         "accepted": refine_accepts,
     } if args.refine_every else None,
+    # full resolved pipeline Config (VERDICT r04 item 7: artifacts must be
+    # reproducible without cross-referencing docs)
+    "resolved_config": dataclasses.asdict(cfg),
 }
-out = args.out or os.path.join(REPO, "SOAK_r04.json")
+out = args.out or os.path.join(REPO, "SOAK_r05.json")
 with open(out, "w") as f:
     json.dump(result, f, indent=1)
 print(json.dumps({k: result[k] for k in

@@ -204,9 +204,6 @@ def solve_ba(
         Wcp = Wcp.reshape(Kc, P, 6, 3)
         bc = jnp.zeros((Kc, 6), r.dtype).at[obs_cam].add(bc_o)
         bp = jnp.zeros((P, 3), r.dtype).at[obs_pnt].add(bp_o)
-        # cross-shard reduction of camera-indexed blocks (no-op single-shard)
-        Hcc = _allreduce(Hcc)
-        bc = _allreduce(bc)
 
         # damped point-block inverse
         Hpp_d = Hpp + lam * jnp.eye(3, dtype=r.dtype) * jnp.maximum(
@@ -223,10 +220,31 @@ def solve_ba(
         # Schur complement S = Hcc - Wcp Hpp^-1 Wcp^T  (dense einsum over P)
         Y = jnp.einsum("apij,pjk->apik", Wcp, Hpp_inv)      # (K,P,6,3)
         S_off = jnp.einsum("apik,bplk->abil", Y, Wcp)       # (K,K,6,6)
-        S_off = _allreduce(S_off)
+        yb = jnp.einsum("apik,pk->ai", Y, bp)               # (K,6)
+
+        # cross-shard reduction of every camera-indexed contribution in ONE
+        # collective (round-5: the four separate psums each paid the
+        # transport's full per-collective latency — at online window sizes
+        # the solve was latency-bound, SCALING_r04 sweep[0]; the reduced
+        # payload is small, so one concatenated all-reduce costs the same
+        # as any single one of them). Algebraically identical: all four are
+        # sums of per-shard local contributions.
+        if axis_name is not None:
+            flat = jnp.concatenate([
+                Hcc.reshape(-1), bc.reshape(-1), S_off.reshape(-1),
+                yb.reshape(-1),
+            ])
+            flat = jax.lax.psum(flat, axis_name)
+            o1 = Kc * 36
+            o2 = o1 + Kc * 6
+            o3 = o2 + Kc * Kc * 36
+            Hcc = flat[:o1].reshape(Kc, 6, 6)
+            bc = flat[o1:o2].reshape(Kc, 6)
+            S_off = flat[o2:o3].reshape(Kc, Kc, 6, 6)
+            yb = flat[o3:].reshape(Kc, 6)
         S = -S_off
         S = S.at[jnp.arange(Kc), jnp.arange(Kc)].add(Hcc)
-        b_red = bc - _allreduce(jnp.einsum("apik,pk->ai", Y, bp))  # (K,6)
+        b_red = bc - yb  # (K,6)
 
         # flatten to (6K,6K), apply gauge fixing + damping
         Sf = S.transpose(0, 2, 1, 3).reshape(Kc * 6, Kc * 6)

@@ -127,6 +127,17 @@ class KltParams:
     # matching needs more: disparity moves features LEFT by up to
     # ~disparity/2^L px at the top level before the guess chain kicks in.
     margin_x: int = 6
+    # Per-level iteration budgets, index = pyramid level (level 0 first).
+    # The iterations are STATICALLY UNROLLED (a masked update per
+    # iteration — cv2's eps early-exit becomes wasted dispatched ops once
+    # a feature converges), and levels above 0 start from a
+    # coarse-to-fine seed with ~1-3 px of residual flow that converges in
+    # well under 10 damped steps; paying the full max_iters there is pure
+    # per-op dispatch overhead, the measured single-stream throughput
+    # ceiling (docs/perf_notes.md). None falls back to max_iters
+    # everywhere (the reference's cv2 semantics); missing entries use the
+    # last one given.
+    level_iters: tuple = (24, 10, 8, 8)
 
 
 @dataclass(frozen=True)

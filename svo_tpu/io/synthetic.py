@@ -162,29 +162,13 @@ def make_trajectory(n_frames: int, speed=0.35, yaw_amp=0.06,
     return poses
 
 
-def render_frame(
-    planes: list[Plane],
-    T_wc: np.ndarray,
-    K: np.ndarray,
-    shape: tuple[int, int],
-    t_cam: np.ndarray | None = None,
+def render_rays(
+    planes: list[Plane], origin: np.ndarray, dirs: np.ndarray
 ) -> np.ndarray:
-    """Ray-cast one camera image. T_wc: camera-to-world. t_cam: extra
-    camera-frame translation (stereo baseline offset, e.g. [b,0,0] for the
-    right camera of a rectified rig ... the right camera sits at +b on the
-    left camera's x axis)."""
-    H, W = shape
-    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
-    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
-    dirs_cam = np.stack(
-        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
-    )
-    R = T_wc[:3, :3]
-    origin = T_wc[:3, 3].copy()
-    if t_cam is not None:
-        origin = origin + R @ np.asarray(t_cam, np.float64)
-    dirs = dirs_cam @ R.T  # (H,W,3) world-frame ray directions
-
+    """Ray-cast arbitrary world-frame rays (origin (3,), dirs (H,W,3)) —
+    shared by the rectified-pinhole renderer below and the distorted
+    unrectified EuRoC-mini fixture generator (scripts/make_fixtures.py)."""
+    H, W = dirs.shape[:2]
     best_t = np.full((H, W), np.inf)
     img = np.full((H, W), 90.0, np.float32)  # sky/background value
     for pl in planes:
@@ -218,6 +202,31 @@ def render_frame(
         img = np.where(hit, val, img)
         best_t = np.where(hit, t, best_t)
     return img.astype(np.float32)
+
+
+def render_frame(
+    planes: list[Plane],
+    T_wc: np.ndarray,
+    K: np.ndarray,
+    shape: tuple[int, int],
+    t_cam: np.ndarray | None = None,
+) -> np.ndarray:
+    """Ray-cast one camera image. T_wc: camera-to-world. t_cam: extra
+    camera-frame translation (stereo baseline offset, e.g. [b,0,0] for the
+    right camera of a rectified rig ... the right camera sits at +b on the
+    left camera's x axis)."""
+    H, W = shape
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    xs, ys = np.meshgrid(np.arange(W), np.arange(H))
+    dirs_cam = np.stack(
+        [(xs - cx) / fx, (ys - cy) / fy, np.ones_like(xs, np.float64)], axis=-1
+    )
+    R = T_wc[:3, :3]
+    origin = T_wc[:3, 3].copy()
+    if t_cam is not None:
+        origin = origin + R @ np.asarray(t_cam, np.float64)
+    dirs = dirs_cam @ R.T  # (H,W,3) world-frame ray directions
+    return render_rays(planes, origin, dirs)
 
 
 class SyntheticSequence:

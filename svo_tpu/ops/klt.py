@@ -195,7 +195,7 @@ def _blend(patches, offset, window: int):
     jax.jit,
     static_argnames=(
         "window", "max_level", "max_iters", "eps", "min_eig_threshold",
-        "margin_x",
+        "margin_x", "level_iters",
     ),
 )
 def _track_impl(
@@ -211,6 +211,7 @@ def _track_impl(
     eps: float,
     min_eig_threshold: float,
     margin_x: int = 6,
+    level_iters: tuple | None = None,
 ):
     N = pos.shape[0]
     w = window
@@ -225,6 +226,16 @@ def _track_impl(
     min_eig_out = jnp.zeros((N,), jnp.float32)
 
     for level in range(max_level, -1, -1):
+        # per-level iteration budget (KltParams.level_iters): levels above 0
+        # start from a coarse-to-fine seed and converge in a handful of
+        # damped steps; the statically-unrolled extras were pure dispatch
+        # overhead. min() keeps caller overrides (the fb-check's 8) binding.
+        if level_iters is not None:
+            iters_l = min(
+                max_iters, level_iters[min(level, len(level_iters) - 1)]
+            )
+        else:
+            iters_l = max_iters
         img_prev = prev_levels[level]
         img_curr = curr_levels[level]
         gx, gy = prev_grad_levels[level]
@@ -265,7 +276,7 @@ def _track_impl(
 
             d, min_eig, solvable, in_fin = lk_track_level(
                 img_prev, gx, gy, img_curr, p_pad, guess, status,
-                window=w, py=py, max_iters=max_iters, eps=eps,
+                window=w, py=py, max_iters=iters_l, eps=eps,
                 min_eig_threshold=min_eig_threshold,
                 margin_x=margin_x, margin_y=_MY,
             )
@@ -376,10 +387,10 @@ def _track_impl(
         carry = (guess, jnp.zeros((N,), bool))
         if jax.default_backend() == "cpu":
             carry = jax.lax.fori_loop(
-                0, max_iters, lambda _, c: lk_update(c), carry
+                0, iters_l, lambda _, c: lk_update(c), carry
             )
         else:
-            for _ in range(max_iters):
+            for _ in range(iters_l):
                 carry = lk_update(carry)
         d, _ = carry
 
@@ -531,6 +542,7 @@ class KltTracker:
             window=params.window,
             max_level=params.max_level,
             max_iters=params.max_iters,
+            level_iters=params.level_iters,
             eps=params.eps,
             min_eig_threshold=params.min_eig_threshold,
             margin_x=params.margin_x,
