@@ -246,7 +246,11 @@ def main():
     t0 = time.perf_counter()
     for i, c in enumerate(chunks):
         bvo.process_chunk(*c)
-        if (i + 1) % REFINE_EVERY == 0:
+        # periodic sweeps + a TERMINAL flush at the last chunk: without the
+        # flush, a sweep several chunks before the end leaves the remaining
+        # frames tracking against polished-but-unresweeped points and the
+        # short-horizon ATE pays an end artifact the long soak never sees
+        if (i + 1) % REFINE_EVERY == 0 or i == len(chunks) - 1:
             bvo.refine()
     jax.block_until_ready(bvo.state.pose)
     fps_refine = STREAMS * n_stepped / (time.perf_counter() - t0)

@@ -145,11 +145,19 @@ if args.refine_every:
     bfx = jnp.float32(camera.K[0, 0] * camera.baseline)
 
     reject = float(os.environ.get("SOAK_REFINE_REJECT", "100.0"))
+    # SOAK_JOINT_ALT=1 switches the conservative candidate to the joint
+    # pose+point alternation (still points-only APPLICATION): measured
+    # soak 0.110% @ every-2 / 0.115% @ every-3 vs 0.115% points-only, but
+    # it perturbs short forward streams at the cm level (BENCH refined
+    # per-stream), so the strictly non-regressive points-only alternation
+    # is the default.
+    joint_alt = bool(os.environ.get("SOAK_JOINT_ALT"))
 
     @jax.jit
     def _refine(mp, poses, fid):
         res = refine_global(
-            mp, poses, fid, K_mat, bfx, reject_threshold=reject
+            mp, poses, fid, K_mat, bfx, reject_threshold=reject,
+            alt_points_only=not joint_alt,
         )
         return res.map, res.poses, res.poses[fid], res.accepted
 

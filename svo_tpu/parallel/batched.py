@@ -177,9 +177,24 @@ class BatchedStereoVO:
                 ba_iterations=ba_iterations, pg_iterations=pg_iterations,
             )
 
+        # lax.map, not vmap (round-5): under vmap the refine's
+        # lax.cond(aggressive) lowers to both-branches+select, so every
+        # stream pays the block-BA recovery machinery on every sweep even
+        # when all spans are healthy. lax.map runs the streams sequentially
+        # and each stream's cond actually SKIPS the aggressive branch — at
+        # 8 streams the conservative-only sweep is cheap enough that the
+        # sequential map beats the batched both-branch program (measured in
+        # BENCH agg_fps_with_refine). SVO_TPU_REFINE_VMAP=1 restores vmap.
+        import os as _os
+
+        _mapper = (
+            jax.vmap if _os.environ.get("SVO_TPU_REFINE_VMAP") else
+            (lambda f: (lambda *a: jax.lax.map(lambda t: f(*t), a)))
+        )
+
         @partial(jax.jit, donate_argnums=(0,))
         def _refine(state):
-            res = jax.vmap(one)(state.map, state.poses, state.frame_id)
+            res = _mapper(one)(state.map, state.poses, state.frame_id)
             pose = jax.vmap(lambda P, f: P[f])(res.poses, state.frame_id)
             new_state = state._replace(
                 map=state.map._replace(points=res.map.points),

@@ -96,7 +96,7 @@ def extract_blocks(
     jax.jit,
     static_argnames=(
         "n_blocks", "cams_per_block", "n_points", "n_obs",
-        "ba_iterations", "pg_iterations",
+        "ba_iterations", "pg_iterations", "alt_points_only",
     ),
 )
 def refine_global(
@@ -114,6 +114,7 @@ def refine_global(
     huber_delta: float = 5.0,
     reject_threshold: float = 100.0,
     recover_cost_per_obs: float = 10.0,
+    alt_points_only: bool = True,
 ) -> RefineResult:
     """Two-regime global refinement on the live state (round-4 redesign).
 
@@ -169,7 +170,7 @@ def refine_global(
         full_prob, K_mat, baseline_fx, rounds=ba_iterations // 2 + 2,
         n_fixed=1, huber_delta=huber_delta,
         reject_threshold=jnp.minimum(reject_threshold, 20.0),
-        points_only=True,
+        points_only=alt_points_only,
     )
     alt_ok = jnp.isfinite(alt.cost) & (alt.cost <= alt.cost0)
     cons_mp, _ = write_back(
