@@ -161,6 +161,20 @@ result = {
     "speedup": head["speedup"],
     "target": 0.80,
     "met": head["efficiency"] >= 0.80,
+    # VERDICT r04 item 8: the claim's SCOPE is explicit — distributed BA
+    # is the offline/global-map engine (the workload BASELINE.json config
+    # #5 partitions across hosts); an online sliding-window problem fits
+    # on ONE chip at interactive rate (BENCH ba_iterations_per_s ~580 on
+    # a 1.3k-obs window) and distributing it buys nothing on a
+    # per-collective-latency transport. Round 5 additionally fused the
+    # four pre-solve cross-shard reductions into one collective (see
+    # sweep[0].comm_overhead_ms_per_iter vs SCALING_r04's 16.1).
+    "scope": "offline/global-map BA (>= ~200k observations)",
+    "met_at_scope": head["efficiency"] >= 0.80,
+    "online_window_note": (
+        "window-sized problems (sweep[0]) remain latency-bound at 2 "
+        "procs over localhost gRPC and are served single-chip instead"
+    ),
     "method": (
         "strong scaling of the shard_map distributed BA (point-block "
         "partitioning, per-LM-iteration psum of the Schur-reduced camera "
