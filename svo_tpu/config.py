@@ -127,17 +127,17 @@ class KltParams:
     # matching needs more: disparity moves features LEFT by up to
     # ~disparity/2^L px at the top level before the guess chain kicks in.
     margin_x: int = 6
-    # Per-level iteration budgets, index = pyramid level (level 0 first).
-    # The iterations are STATICALLY UNROLLED (a masked update per
-    # iteration — cv2's eps early-exit becomes wasted dispatched ops once
-    # a feature converges), and levels above 0 start from a
-    # coarse-to-fine seed with ~1-3 px of residual flow that converges in
-    # well under 10 damped steps; paying the full max_iters there is pure
-    # per-op dispatch overhead, the measured single-stream throughput
-    # ceiling (docs/perf_notes.md). None falls back to max_iters
-    # everywhere (the reference's cv2 semantics); missing entries use the
-    # last one given.
-    level_iters: tuple = (24, 10, 8, 8)
+    # Optional per-level iteration budgets, index = pyramid level (level 0
+    # first; missing entries reuse the last). Iterations are statically
+    # unrolled with a convergence mask, so a tighter budget shrinks the
+    # program. Default None = max_iters everywhere (cv2 semantics):
+    # measured on-chip, a (24,10,8,8) budget cut the lowered program ~13%
+    # with NO throughput change (the unrolled iterations fuse well; the
+    # dispatch floor lives elsewhere) while starving upper levels enough
+    # to break large-flow border rejection (features stopped short of the
+    # image edge instead of exiting and dying). Keep the knob, not the
+    # diet.
+    level_iters: tuple | None = None
 
 
 @dataclass(frozen=True)
