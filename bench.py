@@ -105,6 +105,11 @@ def main():
     _log("render done")
 
     cfg = Config(use_orb=False, image_height=SHAPE[0], image_width=SHAPE[1])
+    # full resolved pipeline Config (VERDICT r04 item 7: artifacts must be
+    # reproducible without cross-referencing docs)
+    import dataclasses as _dc
+
+    ex["resolved_config"] = _dc.asdict(cfg)
     camera = cam_mod.from_intrinsics(
         seq.K[0, 0], seq.K[1, 1], seq.K[0, 2], seq.K[1, 2], seq.baseline
     )
