@@ -67,7 +67,7 @@ def main():
 # --------------------------------------------------------------------------
 
 EU_OUT = os.path.join(FIXTURES, "euroc_mini")
-EU_N, EU_H, EU_W = 16, 192, 320
+EU_N, EU_H, EU_W = 40, 192, 320
 T0_NS = 1403636579763555584
 DT_NS = 50_000_000
 
