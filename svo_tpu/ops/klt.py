@@ -105,13 +105,16 @@ def _patch_cols(window: int, margin_x: int) -> int:
 # already-cached shapes. Set SVO_TPU_NO_PALLAS before importing svo_tpu (the
 # bench A/B does this via a fresh subprocess).
 _NO_PALLAS = bool(os.environ.get("SVO_TPU_NO_PALLAS"))
-# Opt IN to the fused LK-level kernel (ops/lk_pallas.py). Default OFF: the
-# batched separable-hat formulation is correct (interpret-mode parity tests
-# pass) but THIS environment's Mosaic build SIGABRTs on any 3-D value slice
-# (see docs/mosaic_limits.md for the minimal probes), so the kernel cannot
-# compile on the real chip yet. The shipped TPU path is the extraction
-# kernel + XLA iterations.
+# Opt IN to the fused LK-level kernel (ops/lk_pallas.py). Default OFF on
+# measured throughput grounds: the 2-D row-folded formulation compiles and
+# tracks accurately on this chip (round 5: HBM operands + DMA staging) but
+# its 16% lane utilization makes it intrinsically ~3x slower than the
+# extraction-kernel + XLA blend path (docs/mosaic_limits.md #8).
 _FUSED_LK = bool(os.environ.get("SVO_TPU_FUSED_LK"))
+# Force the fused path IN INTERPRET MODE on CPU — CI-only knob for the
+# pipeline-level fused-vs-XLA trajectory agreement test
+# (tests/test_lk_fused_pipeline.py); never set in production.
+_FUSED_INTERP = bool(os.environ.get("SVO_TPU_FUSED_INTERPRET"))
 
 
 def _use_pallas(H: int, W: int, py: int) -> bool:
@@ -257,8 +260,8 @@ def _track_impl(
         p_pad = p_lvl + jnp.asarray([_PAD_X, _PAD_Y], p_lvl.dtype)
 
         fused_ok = (
-            _use_pallas(H, W, py)
-            and _FUSED_LK
+            ((_use_pallas(H, W, py) and _FUSED_LK)
+             or (_FUSED_INTERP and W > 128 and H >= py))
             and py >= w + 2 * _MY           # y-taps must stay in the band
             and 64 >= w + 2 * margin_x + 1  # lk_pallas._PX tap budget
         )
@@ -279,6 +282,7 @@ def _track_impl(
                 window=w, py=py, max_iters=iters_l, eps=eps,
                 min_eig_threshold=min_eig_threshold,
                 margin_x=margin_x, margin_y=_MY,
+                interpret=_FUSED_INTERP,
             )
             status = status & solvable
             min_eig_out = jnp.where(level == 0, min_eig, min_eig_out)

@@ -537,10 +537,8 @@ def lk_track_level(
     assert py >= window + 2 * margin_y, (py, window, margin_y)
     assert _PX >= window + 2 * margin_x + 1, (window, margin_x)
     assert 2 * max(margin_x, margin_y) + 2 <= _PAD_ROWS + 1
-    if interpret:
-        assert W % 128 == 0, (
-            f"interpret mode requires lane-tile-padded images (W={W})"
-        )
+    # (interpret mode no longer needs pre-padded images: _make_track pads
+    # every input to the lane tile itself since the HBM-DMA redesign)
     half = (window - 1) / 2.0
     t_tl = pos - half
     c_tl = pos + guess - half
